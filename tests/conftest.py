@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding paths are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_SCENES = pathlib.Path("/root/reference/Assets/Resources/Scenes")
+
+
+@pytest.fixture(scope="session")
+def reference_scene_dir():
+    if not REFERENCE_SCENES.is_dir():
+        pytest.skip("reference scenes not available")
+    return REFERENCE_SCENES
