@@ -1,0 +1,142 @@
+"""Render orchestration: scene/acceleration caching, settings precedence,
+backend selection, timing.
+
+This is the TPU-native equivalent of ``Assets/Services/RayTracer.cs``:
+
+* the compiled-scene (and later BVH/cluster) cache keyed on scene identity
+  mirrors the reference's BVH cache (RayTracer.cs:26-27,117-123,269-278) —
+  camera motion never re-tessellates or re-uploads geometry;
+* ``render`` is the static path (device->host readback included,
+  RayTracer.cs:212-380); ``render_to_device`` is the realtime path that
+  returns the device array without readback (RayTracer.cs:76-82);
+* backends: ``"xla"`` (pure-XLA oracle), ``"pallas"`` (fused pixel-tile
+  megakernel), ``"auto"`` (pallas on TPU, xla elsewhere).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from cosig_tpu.models.scene import SceneData
+from cosig_tpu.models.settings import RenderSettings
+from cosig_tpu.models.soa import (
+    SceneArrays,
+    compile_scene,
+    frame_params,
+    static_config,
+)
+from cosig_tpu.ops import trace_xla
+
+log = logging.getLogger("cosig_tpu.render")
+
+
+@dataclass
+class RenderStats:
+    width: int = 0
+    height: int = 0
+    triangles: int = 0
+    compile_ms: float = 0.0
+    render_ms: float = 0.0
+    rays_traced: int = 0
+
+    @property
+    def mrays_per_s(self) -> float:
+        if self.render_ms <= 0:
+            return 0.0
+        return self.rays_traced / (self.render_ms * 1e3)
+
+
+class Renderer:
+    """Stateful front end with scene-compilation caching."""
+
+    def __init__(self, backend: str = "auto"):
+        self.backend = backend
+        self._cached_scene: Optional[SceneData] = None
+        self._cached_arrays: Optional[SceneArrays] = None
+        self._cached_accel = None
+        self.last_stats = RenderStats()
+
+    # -- cache management (parity: InvalidateBVHCache, RayTracer.cs:38-42) --
+
+    def invalidate_cache(self) -> None:
+        self._cached_scene = None
+        self._cached_arrays = None
+        self._cached_accel = None
+
+    def _arrays_for(self, scene: SceneData) -> SceneArrays:
+        if self._cached_scene is not scene or self._cached_arrays is None:
+            self._cached_arrays = compile_scene(scene)
+            self._cached_scene = scene
+            self._cached_accel = None
+        return self._cached_arrays
+
+    def _resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        try:
+            from cosig_tpu.render import pallas_backend  # noqa: F401
+        except ImportError:
+            return "xla"
+        return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+
+    # ------------------------------------------------------------------
+
+    def render_to_device(self, scene: SceneData, settings: RenderSettings):
+        """Realtime path: returns the device framebuffer [H, W, 3] f32
+        (row 0 = bottom) with no host readback."""
+        arrays = self._arrays_for(scene)
+        params = frame_params(scene, settings)
+        cfg = static_config(scene, settings)
+        backend = self._resolve_backend()
+
+        t0 = time.perf_counter()
+        if backend == "pallas":
+            from cosig_tpu.render import pallas_backend
+
+            img = pallas_backend.render_jit(
+                self._accel_for(arrays), params, cfg
+            )
+        else:
+            img = trace_xla.render_jit(arrays, params, cfg)
+        img.block_until_ready()
+        dt = (time.perf_counter() - t0) * 1e3
+
+        self.last_stats = RenderStats(
+            width=cfg.width,
+            height=cfg.height,
+            triangles=arrays.num_triangles,
+            render_ms=dt,
+            rays_traced=estimate_rays(cfg),
+        )
+        return img
+
+    def _accel_for(self, arrays: SceneArrays):
+        if self._cached_accel is None:
+            from cosig_tpu.accel.clusters import build_clusters
+
+            self._cached_accel = build_clusters(arrays)
+        return self._cached_accel
+
+    def render(self, scene: SceneData, settings: RenderSettings) -> np.ndarray:
+        """Static path: render + synchronous device->host readback
+        (RayTracer.cs:369-375). Returns [H, W, 3] f32 numpy, row 0 bottom."""
+        return np.asarray(self.render_to_device(scene, settings))
+
+    def save_png(self, img, path: str) -> None:
+        from cosig_tpu.utils.png import write_png
+
+        write_png(path, np.asarray(img))
+
+
+def estimate_rays(cfg) -> int:
+    """Upper-bound ray count: W*H*AA*depth*(1 primary/secondary + 1 shadow)
+    (SURVEY.md section 3.1). Actual live-ray counts are lower after early
+    termination; benchmarks report both."""
+    shadow = 1 if cfg.enable_diffuse else 0
+    return cfg.width * cfg.height * cfg.aa_samples * cfg.max_depth * (1 + shadow)
