@@ -1,0 +1,150 @@
+"""Flat two-level acceleration structure for the Pallas megakernel.
+
+TPU traversal wants wide, shallow, fixed-shape structures, not per-ray
+stack walks (SURVEY.md section 7, hard part #1). We cut the reference-style
+median-split BVH (:mod:`cosig_tpu.accel.bvh`) at ``K`` triangles per node:
+the leaves become *clusters* — spatially coherent, padded to exactly ``K``
+triangles. The megakernel then does packet traversal: per pixel-tile, test
+each cluster AABB against all rays at once and intersect the cluster's
+triangle block only when any ray may hit it.
+
+Device layout (chosen so every in-kernel slice lands in its natural Mosaic
+layout, no relayouts):
+
+* ``geom [C, K, GEOM_COMPS]`` f32 in VMEM — slicing ``[c]`` gives (K, comps)
+  with K on sublanes; each component column broadcasts against ray planes
+  (1, R) to form (K, R) pair grids.
+* ``aabb_t [8, C_pad]`` f32 in VMEM — rows min.xyz / max.xyz, transposed and
+  lane-padded to a multiple of 128 so the whole cluster-cull for a ray tile
+  is one vectorized (R, C_pad) slab test; padding columns have min > max and
+  never pass.
+* ``mats [M, 8]`` f32 in SMEM — color rgb + ambient/diffuse/specular/
+  refraction/ior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosig_tpu.accel.bvh import build_bvh
+from cosig_tpu.models.soa import SceneArrays
+from cosig_tpu.scene.tessellate import TriangleSoA
+
+F32 = np.float32
+
+# geometry component columns
+V0, E1, E2, N0, N1, N2 = 0, 3, 6, 9, 12, 15
+MAT = 18
+GEOM_COMPS = 19
+
+DEFAULT_K = 32
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class ClusterSet:
+    geom: jax.Array  # [C, K, GEOM_COMPS] f32
+    aabb_t: jax.Array  # [8, C_pad] f32: rows minx,miny,minz,maxx,maxy,maxz
+    mats: jax.Array  # [M, 8] f32
+    num_triangles: int  # real (unpadded) triangle count
+
+    @property
+    def num_clusters(self) -> int:
+        return int(self.geom.shape[0])
+
+    @property
+    def k(self) -> int:
+        return int(self.geom.shape[1])
+
+    def tree_flatten(self):
+        return (self.geom, self.aabb_t, self.mats), (self.num_triangles,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+
+def _pack_materials(arrays: SceneArrays) -> np.ndarray:
+    color = np.asarray(arrays.mat_color, F32)
+    coeff = np.asarray(arrays.mat_coeff, F32)
+    return np.concatenate([color, coeff], axis=1).astype(F32)
+
+
+def build_clusters(
+    arrays: SceneArrays,
+    tris: TriangleSoA | None = None,
+    k: int = DEFAULT_K,
+) -> ClusterSet:
+    """Build the cluster structure from the compiled scene.
+
+    If ``tris`` is omitted, the triangle soup is reconstructed from the
+    device arrays (cheap at these scene sizes)."""
+    if tris is None:
+        tris = TriangleSoA(
+            v0=np.asarray(arrays.tri_v0, F32),
+            v1=np.asarray(arrays.tri_v1, F32),
+            v2=np.asarray(arrays.tri_v2, F32),
+            n0=np.asarray(arrays.tri_n0, F32),
+            n1=np.asarray(arrays.tri_n1, F32),
+            n2=np.asarray(arrays.tri_n2, F32),
+            material=np.asarray(arrays.tri_mat, np.int32),
+        )
+
+    t = tris.count
+    if t == 0:
+        geom = np.zeros((1, k, GEOM_COMPS), F32)
+        aabb_t = np.zeros((8, 128), F32)
+        aabb_t[0:3, :] = 1.0  # min > max: never hit
+        return ClusterSet(
+            geom=jnp.asarray(geom),
+            aabb_t=jnp.asarray(aabb_t),
+            mats=jnp.asarray(_pack_materials(arrays)),
+            num_triangles=0,
+        )
+
+    bvh = build_bvh(tris, max_leaf=k)
+
+    # Leaves of the K-leaf BVH are the clusters; their triangle ranges are
+    # contiguous in the reordered soup.
+    leaf_idx = np.nonzero(bvh.count > 0)[0]
+    ranges = [
+        (int(bvh.left_or_first[i]), int(bvh.count[i]), i) for i in leaf_idx
+    ]
+    # Oversized leaves (degenerate partitions) split into K-sized chunks
+    # sharing the leaf AABB.
+    chunks = []
+    for first, count, node in ranges:
+        for off in range(0, count, k):
+            chunks.append((first + off, min(k, count - off), node))
+
+    c = len(chunks)
+    c_pad = -(-c // 128) * 128
+    geom = np.zeros((c, k, GEOM_COMPS), F32)
+    aabb_t = np.zeros((8, c_pad), F32)
+    aabb_t[0:3, :] = 1.0  # padding columns: min > max -> never hit
+    aabb_t[3:6, :] = -1.0
+    rt = bvh.triangles
+    for ci, (first, count, node) in enumerate(chunks):
+        sl = slice(first, first + count)
+        geom[ci, :count, V0 : V0 + 3] = rt.v0[sl]
+        geom[ci, :count, E1 : E1 + 3] = rt.v1[sl] - rt.v0[sl]
+        geom[ci, :count, E2 : E2 + 3] = rt.v2[sl] - rt.v0[sl]
+        geom[ci, :count, N0 : N0 + 3] = rt.n0[sl]
+        geom[ci, :count, N1 : N1 + 3] = rt.n1[sl]
+        geom[ci, :count, N2 : N2 + 3] = rt.n2[sl]
+        geom[ci, :count, MAT] = rt.material[sl].astype(F32)
+        # Padding rows keep e1 = e2 = 0 -> det == 0 -> never valid.
+        v = np.concatenate([rt.v0[sl], rt.v1[sl], rt.v2[sl]], axis=0)
+        aabb_t[0:3, ci] = v.min(axis=0)
+        aabb_t[3:6, ci] = v.max(axis=0)
+
+    return ClusterSet(
+        geom=jnp.asarray(geom),
+        aabb_t=jnp.asarray(aabb_t),
+        mats=jnp.asarray(_pack_materials(arrays)),
+        num_triangles=t,
+    )

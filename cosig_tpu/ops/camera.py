@@ -100,14 +100,33 @@ def generate_rays(
         pixel_pos = jnp.stack([u, v, jnp.zeros_like(u)], axis=-1)
         d_cam = _normalize(pixel_pos - o_cam)
 
-    # Ray transform camera -> object space (compute:339-340).
-    r = cam_to_obj[:3, :3]
-    t = cam_to_obj[:3, 3]
-    origin = o_cam @ r.T + t
-    direction = _normalize(d_cam @ r.T)
+    # Ray transform camera -> object space (compute:339-340). Component-wise
+    # in the Pallas kernel's exact operation order (see trace_pallas.py) so
+    # the two backends generate bit-identical rays.
+    m = cam_to_obj
+    ocx, ocy, ocz = o_cam[..., 0], o_cam[..., 1], o_cam[..., 2]
+    dcx, dcy, dcz = d_cam[..., 0], d_cam[..., 1], d_cam[..., 2]
+    origin = jnp.stack(
+        [
+            m[0, 0] * ocx + m[0, 1] * ocy + m[0, 2] * ocz + m[0, 3],
+            m[1, 0] * ocx + m[1, 1] * ocy + m[1, 2] * ocz + m[1, 3],
+            m[2, 0] * ocx + m[2, 1] * ocy + m[2, 2] * ocz + m[2, 3],
+        ],
+        axis=-1,
+    )
+    direction = _normalize(
+        jnp.stack(
+            [
+                m[0, 0] * dcx + m[0, 1] * dcy + m[0, 2] * dcz,
+                m[1, 0] * dcx + m[1, 1] * dcy + m[1, 2] * dcz,
+                m[2, 0] * dcx + m[2, 1] * dcy + m[2, 2] * dcz,
+            ],
+            axis=-1,
+        )
+    )
     return origin, direction
 
 
 def _normalize(v):
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    return v / n
+    inv = F(1.0) / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v * inv

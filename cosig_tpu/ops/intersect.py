@@ -45,8 +45,10 @@ def _cross(a, b):
 
 
 def normalize(v):
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    return v / n
+    # inv = 1/sqrt, then multiply — the exact formulation the Pallas kernel
+    # uses, so both paths normalize bit-identically.
+    inv = F(1.0) / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v * inv
 
 
 def reflect(i, n):
@@ -60,18 +62,34 @@ def moller_trumbore(o, d, v0, v1, v2):
     Args: o, d — [N, 3]; v0, v1, v2 — [B, 3].
     Returns (valid [N, B], t [N, B], u [N, B], v [N, B]); t is INF where
     invalid. Matches compute:153-179 exactly (same epsilons, no backface
-    culling)."""
-    e1 = v1 - v0  # [B,3]
-    e2 = v2 - v0
-    # pvec = cross(d, e2): [N,B,3]
-    pvec = _cross(d[:, None, :], e2[None, :, :])
-    det = jnp.einsum("bi,nbi->nb", e1, pvec)
+    culling).
+
+    Written component-wise in the exact operation order of the Pallas
+    megakernel (trace_pallas.py) so both paths agree to the ULP on edge
+    cases — silhouette pixels flip hit/miss under fp reassociation
+    otherwise."""
+    dx, dy, dz = d[:, None, 0], d[:, None, 1], d[:, None, 2]
+    ox, oy, oz = o[:, None, 0], o[:, None, 1], o[:, None, 2]
+    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]
+    e1 = (v1 - v0).astype(o.dtype)
+    e2 = (v2 - v0).astype(o.dtype)
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
     inv_det = F(1.0) / det  # inf/nan on det==0 is masked by `parallel`
-    tvec = o[:, None, :] - v0[None, :, :]
-    u = _dot(tvec, pvec) * inv_det
-    qvec = _cross(tvec, e1[None, :, :])
-    v = jnp.einsum("ni,nbi->nb", d, qvec) * inv_det
-    t = jnp.einsum("bi,nbi->nb", e2, qvec) * inv_det
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     parallel = jnp.abs(det) < EPSILON
     valid = (
         (~parallel)

@@ -13,8 +13,9 @@ broadcastable shape with the vector dimension last.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-F = jnp.float32
+F = np.float32
 
 TWO_PI = F(6.2831853)
 

@@ -1,0 +1,591 @@
+"""Fused Pallas megakernel: the whole Whitted pipeline per pixel tile.
+
+The TPU-native rewrite of the reference's single compute kernel
+(``Assets/Shaders/BVHRayTracing.compute:273-511``): one ``pallas_call``
+renders the frame; each grid step owns a 16x16 pixel tile (R = 256 rays)
+and runs ray-gen -> packet cluster traversal -> shading -> shadow
+traversal -> secondary rays for every bounce and AA sample, with all
+geometry resident in VMEM.
+
+Data-layout contract (see :mod:`cosig_tpu.accel.clusters`):
+
+* per-ray quantities are planes of shape ``(1, R)`` (R on lanes);
+* ray x triangle pair grids are ``(K, R)`` (K on sublanes) — built by
+  broadcasting triangle columns ``(K, 1)`` against ray planes ``(1, R)``;
+  no transposes/relayouts anywhere in the hot loop;
+* cluster AABBs and materials are SMEM scalars;
+* traversal state (best t / normal / material) lives in a VMEM scratch and
+  is updated under ``@pl.when(packet_may_hit_cluster)`` — the packet
+  analog of the reference's stack early-out (compute:245-246).
+
+Shading semantics are the same quirk-preserving rules as
+:mod:`cosig_tpu.ops.shade` (see its docstring), re-expressed on planes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cosig_tpu.accel import clusters as cl
+from cosig_tpu.models.soa import FrameParams, StaticConfig
+from cosig_tpu.ops import rng
+
+F = np.float32
+
+TILE_W = 16
+TILE_H = 16
+R = TILE_W * TILE_H  # rays per tile
+
+INF = F(3.402823466e38)
+EPSILON = F(1e-4)
+OFFSET = F(1e-2)
+
+# uniforms layout (SMEM [UNIFORMS_LEN] f32)
+U_CAM = 0  # 12 floats: rows of the 3x4 camera->object matrix
+U_DIST = 12
+U_PLANE_H = 13
+U_ORTHO = 14
+U_BG = 15  # 3
+U_INTENSITY = 18
+U_LIGHT_SIZE = 19
+U_ROUGHNESS = 20
+U_SHUTTER = 21
+UNIFORMS_LEN = 24
+
+
+def _pow32(x):
+    x2 = x * x
+    x4 = x2 * x2
+    x8 = x4 * x4
+    x16 = x8 * x8
+    return x16 * x16
+
+
+def _rsqrt_planes(x, y, z):
+    # 1/sqrt then multiply (not lax.rsqrt): bit-matches intersect.normalize.
+    inv = F(1.0) / jnp.sqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _ruv_planes(sx, sy, sz):
+    """random_unit_vector on planes (compute:124-131)."""
+    h0, _, h2 = rng.hash33(sx, sy, sz)
+    z = h2 * F(2.0) - F(1.0)
+    a = h0 * rng.TWO_PI
+    r = jnp.sqrt(jnp.maximum(F(0.0), F(1.0) - z * z))
+    return r * jnp.cos(a), r * jnp.sin(a), z
+
+
+def build_uniforms(params: FrameParams) -> jax.Array:
+    """Pack dynamic frame parameters into the SMEM uniforms vector."""
+    m = params.cam_to_obj
+    plane_h = (
+        F(2.0) * params.cam_distance * jnp.tan(jnp.deg2rad(params.fov_deg) * F(0.5))
+    )
+    vals = [
+        m[0, 0], m[0, 1], m[0, 2], m[0, 3],
+        m[1, 0], m[1, 1], m[1, 2], m[1, 3],
+        m[2, 0], m[2, 1], m[2, 2], m[2, 3],
+        params.cam_distance,
+        plane_h,
+        params.ortho_size,
+        params.background[0], params.background[1], params.background[2],
+        params.light_intensity,
+        params.light_size,
+        params.surface_roughness,
+        params.shutter_speed,
+        F(0.0), F(0.0),
+    ]
+    return jnp.stack([jnp.asarray(v, F) for v in vals])
+
+
+def build_lights(params: FrameParams, multi_light: bool) -> jax.Array:
+    """SMEM light table [L, 8]: pos xyz, rgb, pad pad."""
+    pos = params.light_pos if multi_light else params.light_pos[:1]
+    rgb = params.light_rgb if multi_light else params.light_rgb[:1]
+    pad = jnp.zeros((pos.shape[0], 2), F)
+    return jnp.concatenate([pos, rgb, pad], axis=1)
+
+
+def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int):
+    """Build the megakernel body (all static config closed over)."""
+
+    width, height = cfg.width, cfg.height
+    aa = max(1, cfg.aa_samples)
+    grid_w, grid_h = _aa_grid(aa)
+
+    def kernel(
+        uniforms, mats, lights, aabb_t, geom,
+        out_ref, best_ref, flag_vmem, flags_smem, list_smem, sem,
+    ):
+        tile = pl.program_id(0)
+        bx = tile % nbx
+        by = tile // nbx
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+        pxi = bx * TILE_W + lane % TILE_W
+        pyi = by * TILE_H + lane // TILE_W
+        px = pxi.astype(F)
+        py = pyi.astype(F)
+
+        # ---- camera / frame scalars --------------------------------------
+        cam = [uniforms[U_CAM + i] for i in range(12)]
+        dist = uniforms[U_DIST]
+        plane_h = uniforms[U_PLANE_H]
+        plane_w = plane_h * F(width / height)
+        ortho_h = uniforms[U_ORTHO]
+        ortho_w = ortho_h * F(width / height)
+        bg = (uniforms[U_BG], uniforms[U_BG + 1], uniforms[U_BG + 2])
+        intensity = uniforms[U_INTENSITY]
+        light_size = uniforms[U_LIGHT_SIZE]
+        roughness = uniforms[U_ROUGHNESS]
+        shutter = uniforms[U_SHUTTER]
+
+        # ------------------------------------------------------------------
+        def traverse(ox, oy, oz, dx, dy, dz, active):
+            """Packet cluster traversal -> (hit, t, nx, ny, nz, mat).
+
+            Three stages, sized so the scalar unit never stalls the VPU on a
+            per-cluster basis (the per-cluster branch pattern costs ~300 ns
+            per cluster; this structure costs ~0.4 us per *traversal*):
+
+            1. one vectorized (R, C_pad) slab test, masked by the alive
+               lanes (dead rays don't vote -> natural ray compaction);
+            2. per-cluster any-hit flags DMA'd VMEM->SMEM, scalar-compacted
+               into a hit-cluster index list;
+            3. a dynamic-trip fori_loop over only the hit clusters.
+            """
+            best_ref[0:1] = jnp.full((1, R), INF, F)
+            best_ref[1:2] = jnp.zeros((1, R), F)
+            best_ref[2:3] = jnp.ones((1, R), F)  # default normal (0,1,0)
+            best_ref[3:4] = jnp.zeros((1, R), F)
+            best_ref[4:5] = jnp.full((1, R), -1.0, F)
+
+            idx = F(1.0) / dx
+            idy = F(1.0) / dy
+            idz = F(1.0) / dz
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+
+            # ---- stage 1: vectorized cull over all clusters ----
+            oxc = ox.reshape(R, 1)
+            oyc = oy.reshape(R, 1)
+            ozc = oz.reshape(R, 1)
+            idxc = idx.reshape(R, 1)
+            idyc = idy.reshape(R, 1)
+            idzc = idz.reshape(R, 1)
+            act = active.astype(F).reshape(R, 1)
+            t0x = (aabb_t[0:1, :] - oxc) * idxc
+            t1x = (aabb_t[3:4, :] - oxc) * idxc
+            t0y = (aabb_t[1:2, :] - oyc) * idyc
+            t1y = (aabb_t[4:5, :] - oyc) * idyc
+            t0z = (aabb_t[2:3, :] - ozc) * idzc
+            t1z = (aabb_t[5:6, :] - ozc) * idzc
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            boxhit = (tn <= tf) & (tf >= F(0.0)) & (act > F(0.0))
+            flag_vmem[:, :] = jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
+
+            # ---- stage 2: flags -> SMEM, scalar compaction ----
+            copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
+            copy.start()
+            copy.wait()
+
+            def compact(c, n):
+                f = flags_smem[0, c]
+
+                @pl.when(f > 0)
+                def _():
+                    list_smem[0, n] = c
+
+                return n + jnp.where(f > 0, 1, 0)
+
+            n_hit = jax.lax.fori_loop(0, C, compact, 0)
+
+            # ---- stage 3: intersect only the hit clusters ----
+            def visit(i, _):
+                c = list_smem[0, i]
+                g = geom[c]  # (K, GEOM_COMPS)
+                v0x, v0y, v0z = g[:, 0:1], g[:, 1:2], g[:, 2:3]
+                e1x, e1y, e1z = g[:, 3:4], g[:, 4:5], g[:, 5:6]
+                e2x, e2y, e2z = g[:, 6:7], g[:, 7:8], g[:, 8:9]
+                # Möller-Trumbore on the (K, R) pair grid (compute:153-179).
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = F(1.0) / det
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                valid = (
+                    (jnp.abs(det) >= EPSILON)
+                    & (u >= F(0.0))
+                    & (u <= F(1.0))
+                    & (v >= F(0.0))
+                    & (u + v <= F(1.0))
+                    & (t > EPSILON)
+                )
+                tm = jnp.where(valid, t, INF)
+                tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, R)
+                # First-occurrence winner via row-index min.
+                cand = jnp.where(tm == tmin, rowid, K)
+                kmin = jnp.min(cand, axis=0, keepdims=True)
+                oh = (rowid == kmin).astype(F)
+
+                def sel(col):
+                    return jnp.sum(oh * col, axis=0, keepdims=True)
+
+                u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
+                v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
+                w_c = F(1.0) - u_c - v_c
+                nx = w_c * sel(g[:, 9:10]) + u_c * sel(g[:, 12:13]) + v_c * sel(g[:, 15:16])
+                ny = w_c * sel(g[:, 10:11]) + u_c * sel(g[:, 13:14]) + v_c * sel(g[:, 16:17])
+                nz = w_c * sel(g[:, 11:12]) + u_c * sel(g[:, 14:15]) + v_c * sel(g[:, 17:18])
+                mat_c = sel(g[:, 18:19])
+
+                better = tmin < best_ref[0:1]
+                best_ref[0:1] = jnp.where(better, tmin, best_ref[0:1])
+                best_ref[1:2] = jnp.where(better, nx, best_ref[1:2])
+                best_ref[2:3] = jnp.where(better, ny, best_ref[2:3])
+                best_ref[3:4] = jnp.where(better, nz, best_ref[3:4])
+                best_ref[4:5] = jnp.where(better, mat_c, best_ref[4:5])
+                return 0
+
+            jax.lax.fori_loop(0, n_hit, visit, 0)
+
+            t = best_ref[0:1]
+            hit = t < INF
+            nx, ny, nz = best_ref[1:2], best_ref[2:3], best_ref[3:4]
+            nx, ny, nz = _rsqrt_planes(nx, ny, nz)
+            nx = jnp.where(hit, nx, F(0.0))
+            ny = jnp.where(hit, ny, F(1.0))
+            nz = jnp.where(hit, nz, F(0.0))
+            return hit, t, nx, ny, nz, best_ref[4:5]
+
+        # ------------------------------------------------------------------
+        def fetch_mat(mat_c):
+            """Material select via a static loop over the SMEM table
+            (defaults for miss, compute:371-376)."""
+            props = [
+                jnp.full((1, R), d, F)
+                for d in (1.0, 1.0, 1.0, 0.1, 0.7, 0.0, 0.0, 1.0)
+            ]
+            for m in range(M):
+                is_m = mat_c == F(m)
+                for p in range(8):
+                    props[p] = jnp.where(is_m, mats[m, p], props[p])
+            return props  # cr, cg, cb, kA, kD, kS, kRefr, ior
+
+        # ------------------------------------------------------------------
+        acc_r = jnp.zeros((1, R), F)
+        acc_g = jnp.zeros((1, R), F)
+        acc_b = jnp.zeros((1, R), F)
+        # Per-ray traversal count (row 3 of the output): doubles as a cost
+        # heatmap and yields the honest rays-traced total for Mrays/s.
+        ray_count = jnp.zeros((1, R), F)
+
+        for s in range(aa):
+            # ---- AA offsets (compute:300-310) ----
+            if aa == 1:
+                off_x = jnp.full((1, R), 0.5, F)
+                off_y = jnp.full((1, R), 0.5, F)
+            else:
+                gy, gx = divmod(s, grid_w)
+                jx, jy = rng.hash22(px + F(s * 13.0), py + F(s * 7.0))
+                off_x = (F(gx) + jx) / F(grid_w)
+                off_y = (F(gy) + jy) / F(grid_h)
+
+            # ---- ray generation (compute:291-340) ----
+            if cfg.is_orthographic:
+                u = ((px + off_x) / F(width) - F(0.5)) * F(2.0) * ortho_w
+                v = ((py + off_y) / F(height) - F(0.5)) * F(2.0) * ortho_h
+                ocx, ocy, ocz = u, v, jnp.full((1, R), 1.0, F) * dist
+                dcx = jnp.zeros((1, R), F)
+                dcy = jnp.zeros((1, R), F)
+                dcz = jnp.full((1, R), -1.0, F)
+            else:
+                u = ((px + off_x) / F(width) - F(0.5)) * plane_w
+                v = ((py + off_y) / F(height) - F(0.5)) * plane_h
+                ocx, ocy, ocz = (
+                    jnp.zeros((1, R), F),
+                    jnp.zeros((1, R), F),
+                    jnp.full((1, R), 1.0, F) * dist,
+                )
+                dcx, dcy, dcz = _rsqrt_planes(u - ocx, v - ocy, -ocz)
+
+            ox = cam[0] * ocx + cam[1] * ocy + cam[2] * ocz + cam[3]
+            oy = cam[4] * ocx + cam[5] * ocy + cam[6] * ocz + cam[7]
+            oz = cam[8] * ocx + cam[9] * ocy + cam[10] * ocz + cam[11]
+            dx = cam[0] * dcx + cam[1] * dcy + cam[2] * dcz
+            dy = cam[4] * dcx + cam[5] * dcy + cam[6] * dcz
+            dz = cam[8] * dcx + cam[9] * dcy + cam[10] * dcz
+            dx, dy, dz = _rsqrt_planes(dx, dy, dz)
+
+            if cfg.enable_motion_blur:
+                rx, ry, rz = _ruv_planes(px + F(s), py, jnp.full((1, R), s, F))
+                scale = F(0.2) * shutter
+                ox = ox + (rx - F(0.5)) * scale
+                oy = oy + (ry - F(0.5)) * scale
+                oz = oz + (rz - F(0.5)) * scale
+
+            scol_r = jnp.zeros((1, R), F)
+            scol_g = jnp.zeros((1, R), F)
+            scol_b = jnp.zeros((1, R), F)
+            at_r = jnp.ones((1, R), F)
+            at_g = jnp.ones((1, R), F)
+            at_b = jnp.ones((1, R), F)
+            alive = jnp.ones((1, R), bool)
+
+            for depth in range(cfg.max_depth):
+                ray_count = ray_count + alive.astype(F)
+                hit, t, nx, ny, nz, mat_c = traverse(ox, oy, oz, dx, dy, dz, alive)
+
+                miss = alive & ~hit
+                scol_r = scol_r + jnp.where(miss, at_r * bg[0], F(0.0))
+                scol_g = scol_g + jnp.where(miss, at_g * bg[1], F(0.0))
+                scol_b = scol_b + jnp.where(miss, at_b * bg[2], F(0.0))
+                alive = alive & hit
+
+                hx = ox + t * dx
+                hy = oy + t * dy
+                hz = oz + t * dz
+                cr, cg, cb, ka, kd, ks, krefr, ior = fetch_mat(mat_c)
+
+                loc_r = cr * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
+                loc_g = cg * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
+                loc_b = cb * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
+
+                depth_f = F(float(depth))
+                for li in range(L):
+                    lx, ly, lz = lights[li, 0], lights[li, 1], lights[li, 2]
+                    lpx = jnp.full((1, R), 1.0, F) * lx
+                    lpy = jnp.full((1, R), 1.0, F) * ly
+                    lpz = jnp.full((1, R), 1.0, F) * lz
+                    if cfg.enable_soft_shadows:
+                        jx_, jy_, jz_ = _ruv_planes(
+                            px + F(s * 9.0),
+                            py + F(s * 4.0) + depth_f,
+                            jnp.full((1, R), s, F),
+                        )
+                        lpx = lpx + jx_ * light_size
+                        lpy = lpy + jy_ * light_size
+                        lpz = lpz + jz_ * light_size
+
+                    tlx = lpx - hx
+                    tly = lpy - hy
+                    tlz = lpz - hz
+                    dist_l = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+                    ldx, ldy, ldz = _rsqrt_planes(tlx, tly, tlz)
+                    ndl = jnp.maximum(F(0.0), nx * ldx + ny * ldy + nz * ldz)
+
+                    if cfg.enable_diffuse:
+                        shadow_active = alive & (ndl > F(0.0))
+                        ray_count = ray_count + shadow_active.astype(F)
+                        shx = hx + nx * OFFSET
+                        shy = hy + ny * OFFSET
+                        shz = hz + nz * OFFSET
+                        s_hit, s_t, *_ = traverse(
+                            shx, shy, shz, ldx, ldy, ldz, shadow_active
+                        )
+                        lit = (~s_hit) | (s_t > dist_l)
+
+                        gate = lit & (ndl > F(0.0)) & alive
+                        dr = cr * kd * ndl
+                        dg = cg * kd * ndl
+                        db = cb * kd * ndl
+                        if cfg.enable_specular:
+                            hvx, hvy, hvz = _rsqrt_planes(ldx - dx, ldy - dy, ldz - dz)
+                            spec = _pow32(
+                                jnp.maximum(nx * hvx + ny * hvy + nz * hvz, F(0.0))
+                            )
+                            dr = dr + ks * spec
+                            dg = dg + ks * spec
+                            db = db + ks * spec
+                        if cfg.multi_light:
+                            lr, lg, lb = lights[li, 3], lights[li, 4], lights[li, 5]
+                            dr, dg, db = dr * lr, dg * lg, db * lb
+                        loc_r = loc_r + jnp.where(gate, dr, F(0.0))
+                        loc_g = loc_g + jnp.where(gate, dg, F(0.0))
+                        loc_b = loc_b + jnp.where(gate, db, F(0.0))
+
+                scol_r = scol_r + jnp.where(alive, at_r * loc_r * intensity, F(0.0))
+                scol_g = scol_g + jnp.where(alive, at_g * loc_g * intensity, F(0.0))
+                scol_b = scol_b + jnp.where(alive, at_b * loc_b * intensity, F(0.0))
+
+                if depth == cfg.max_depth - 1:
+                    break  # no secondary rays after the final bounce
+
+                # ---- secondary ray (compute:420-455) ----
+                should_reflect = ks > F(0.0)
+                should_refract = (
+                    (krefr > F(0.0)) if cfg.enable_refraction else jnp.zeros((1, R), bool)
+                )
+
+                cos_in = dx * nx + dy * ny + dz * nz
+                exiting = cos_in > F(0.0)
+                fnx = jnp.where(exiting, -nx, nx)
+                fny = jnp.where(exiting, -ny, ny)
+                fnz = jnp.where(exiting, -nz, nz)
+                eta = jnp.where(exiting, ior, F(1.0) / ior)
+                cos = -(dx * fnx + dy * fny + dz * fnz)
+                kk = F(1.0) - eta * eta * (F(1.0) - cos * cos)
+                tir = kk < F(0.0)
+                coef = eta * cos - jnp.sqrt(jnp.maximum(kk, F(0.0)))
+                rfx = eta * dx + coef * fnx
+                rfy = eta * dy + coef * fny
+                rfz = eta * dz + coef * fnz
+                # reflect about flipped normal (TIR) / plain normal
+                dot_f = dx * fnx + dy * fny + dz * fnz
+                tirx = dx - F(2.0) * dot_f * fnx
+                tiry = dy - F(2.0) * dot_f * fny
+                tirz = dz - F(2.0) * dot_f * fnz
+                dot_p = cos_in
+                rpx = dx - F(2.0) * dot_p * nx
+                rpy = dy - F(2.0) * dot_p * ny
+                rpz = dz - F(2.0) * dot_p * nz
+
+                ndx = jnp.where(should_refract, jnp.where(tir, tirx, rfx), rpx)
+                ndy = jnp.where(should_refract, jnp.where(tir, tiry, rfy), rpy)
+                ndz = jnp.where(should_refract, jnp.where(tir, tirz, rfz), rpz)
+                amr = jnp.where(should_refract, jnp.where(tir, cr * ks, cr * krefr), cr * ks)
+                amg = jnp.where(should_refract, jnp.where(tir, cg * ks, cg * krefr), cg * ks)
+                amb = jnp.where(should_refract, jnp.where(tir, cb * ks, cb * krefr), cb * ks)
+                sox = jnp.where(
+                    should_refract,
+                    jnp.where(tir, hx + fnx * OFFSET, hx + rfx * OFFSET),
+                    hx + nx * OFFSET,
+                )
+                soy = jnp.where(
+                    should_refract,
+                    jnp.where(tir, hy + fny * OFFSET, hy + rfy * OFFSET),
+                    hy + ny * OFFSET,
+                )
+                soz = jnp.where(
+                    should_refract,
+                    jnp.where(tir, hz + fnz * OFFSET, hz + rfz * OFFSET),
+                    hz + nz * OFFSET,
+                )
+
+                if cfg.enable_glossy:
+                    gx_, gy_, gz_ = _ruv_planes(
+                        px + F(s * 55.0) + depth_f,
+                        py + F(s * 22.0),
+                        jnp.full((1, R), 13.0, F) * depth_f,
+                    )
+                    ndx = ndx + gx_ * roughness
+                    ndy = ndy + gy_ * roughness
+                    ndz = ndz + gz_ * roughness
+
+                cont = alive & (should_reflect | should_refract)
+                ndx, ndy, ndz = _rsqrt_planes(ndx, ndy, ndz)
+                at_r = jnp.where(cont, at_r * amr, at_r)
+                at_g = jnp.where(cont, at_g * amg, at_g)
+                at_b = jnp.where(cont, at_b * amb, at_b)
+                ox = jnp.where(cont, sox, ox)
+                oy = jnp.where(cont, soy, oy)
+                oz = jnp.where(cont, soz, oz)
+                dx = jnp.where(cont, ndx, dx)
+                dy = jnp.where(cont, ndy, dy)
+                dz = jnp.where(cont, ndz, dz)
+                max_at = jnp.maximum(jnp.maximum(at_r, at_g), at_b)
+                alive = cont & (max_at > F(0.0))
+
+            acc_r = acc_r + scol_r
+            acc_g = acc_g + scol_g
+            acc_b = acc_b + scol_b
+
+        inv_aa = F(1.0 / aa)
+        out_ref[0:1] = acc_r * inv_aa
+        out_ref[1:2] = acc_g * inv_aa
+        out_ref[2:3] = acc_b * inv_aa
+        out_ref[3:4] = ray_count
+
+    return kernel
+
+
+def _aa_grid(n: int) -> Tuple[int, int]:
+    gw = math.ceil(math.sqrt(n))
+    return gw, math.ceil(n / gw)
+
+
+def render_clusters(
+    cset: cl.ClusterSet,
+    params: FrameParams,
+    cfg: StaticConfig,
+    interpret: bool = False,
+):
+    """Render via the megakernel -> (image [H, W, 3] f32 row-0-bottom,
+    rays_traced scalar f32)."""
+    width, height = cfg.width, cfg.height
+    nbx = -(-width // TILE_W)
+    nby = -(-height // TILE_H)
+    n_tiles = nbx * nby
+
+    C, K = cset.num_clusters, cset.k
+    M = int(cset.mats.shape[0])
+
+    uniforms = build_uniforms(params)
+    lights = build_lights(params, cfg.multi_light)
+    L = int(lights.shape[0])
+
+    kernel = _make_kernel(cfg, C, K, M, L, nbx)
+
+    C_pad = int(cset.aabb_t.shape[1])
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mats
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+            pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (C, K, cl.GEOM_COMPS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((4, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_tiles * R), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, R), jnp.float32),      # best-hit state
+            pltpu.VMEM((1, C_pad), jnp.int32),    # cluster flags (vector)
+            pltpu.SMEM((1, C_pad), jnp.int32),    # cluster flags (scalar)
+            pltpu.SMEM((1, C_pad), jnp.int32),    # compacted hit list
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(uniforms, cset.mats, lights, cset.aabb_t, cset.geom)
+
+    # Un-tile: [4, nby, nbx, TILE_H, TILE_W] -> [H, W, 4]; rgb + ray count.
+    full = (
+        out.reshape(4, nby, nbx, TILE_H, TILE_W)
+        .transpose(1, 3, 2, 4, 0)
+        .reshape(nby * TILE_H, nbx * TILE_W, 4)
+    )
+    img = full[:height, :width, :3]
+    rays = jnp.sum(full[:height, :width, 3])
+    return img, rays
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False):
+    return render_clusters(cset, params, cfg, interpret)

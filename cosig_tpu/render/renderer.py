@@ -96,10 +96,11 @@ class Renderer:
         backend = self._resolve_backend()
 
         t0 = time.perf_counter()
-        if backend == "pallas":
+        rays = None
+        if backend == "pallas" and cfg.debug_mode == 0:
             from cosig_tpu.render import pallas_backend
 
-            img = pallas_backend.render_jit(
+            img, rays = pallas_backend.render_jit(
                 self._accel_for(arrays), params, cfg
             )
         else:
@@ -112,7 +113,7 @@ class Renderer:
             height=cfg.height,
             triangles=arrays.num_triangles,
             render_ms=dt,
-            rays_traced=estimate_rays(cfg),
+            rays_traced=int(rays) if rays is not None else estimate_rays(cfg),
         )
         return img
 

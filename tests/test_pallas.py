@@ -1,0 +1,94 @@
+"""Megakernel vs XLA-oracle equivalence (interpret mode on CPU).
+
+The two backends share component-wise arithmetic ordering, so images must
+agree to fp32 ULP noise — not just statistically."""
+
+import numpy as np
+import pytest
+
+import cosig_tpu
+from cosig_tpu.accel.clusters import build_clusters
+from cosig_tpu.models.soa import compile_scene, frame_params, static_config
+from cosig_tpu.ops import trace_pallas, trace_xla
+from cosig_tpu.scene.parser import load_scene
+
+
+def render_both(scene, settings, k=32):
+    arrays = compile_scene(scene)
+    params = frame_params(scene, settings)
+    cfg = static_config(scene, settings)
+    ref = np.asarray(trace_xla.render_jit(arrays, params, cfg))
+    cs = build_clusters(arrays, k=k)
+    img, rays = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    return np.asarray(img), ref, float(rays)
+
+
+@pytest.fixture(scope="module")
+def scene1(reference_scene_dir):
+    return load_scene(str(reference_scene_dir / "test_scene_1.txt"))
+
+
+def test_matches_oracle_basic(scene1):
+    st = cosig_tpu.RenderSettings(resolution_override=(48, 32), max_depth=3)
+    img, ref, rays = render_both(scene1, st)
+    assert img.shape == ref.shape == (32, 48, 3)
+    rmse = np.sqrt(((img - ref) ** 2).mean())
+    assert rmse < 1e-5
+    assert np.abs(img - ref).max() < 1e-3
+    # Ray accounting: at least one primary per pixel, less than the
+    # full-depth upper bound.
+    assert 32 * 48 <= rays <= 32 * 48 * 3 * 2
+
+
+def test_matches_oracle_effects(scene1):
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(32, 32),
+        max_depth=2,
+        aa_samples=4,
+        enable_soft_shadows=True,
+        light_size=5.0,
+        enable_glossy=True,
+        surface_roughness=0.05,
+        enable_motion_blur=True,
+        shutter_speed=0.5,
+    )
+    img, ref, _ = render_both(scene1, st)
+    rmse = np.sqrt(((img - ref) ** 2).mean())
+    assert rmse < 1e-5
+
+
+def test_matches_oracle_orthographic(scene1):
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(32, 32), max_depth=2, is_orthographic=True
+    )
+    img, ref, _ = render_both(scene1, st)
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-5
+
+
+def test_matches_oracle_multi_light(reference_scene_dir):
+    scene2 = load_scene(str(reference_scene_dir / "test_scene_2.txt"))
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(32, 32), max_depth=2, multi_light=True
+    )
+    img, ref, _ = render_both(scene2, st)
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-5
+
+
+def test_matches_oracle_toggles(scene1):
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(32, 32),
+        max_depth=3,
+        enable_ambient=False,
+        enable_specular=False,
+        enable_refraction=False,
+    )
+    img, ref, _ = render_both(scene1, st)
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-5
+
+
+def test_cluster_size_invariance(scene1):
+    st = cosig_tpu.RenderSettings(resolution_override=(32, 32), max_depth=2)
+    img16, ref, _ = render_both(scene1, st, k=16)
+    img64, _, _ = render_both(scene1, st, k=64)
+    # Different cluster partitions must not change the image.
+    np.testing.assert_allclose(img16, img64, atol=1e-5)
