@@ -1,0 +1,172 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md): Mrays/s on a single chip at 1024x1024,
+depth-6 Whitted (glass-sphere config 4 from BASELINE.json), target 500.
+Rays are counted honestly: the megakernel emits per-ray traversal counts
+(primary/secondary + shadow rays actually alive), not the W*H*depth upper
+bound.
+
+Usage: python bench.py [--config NAME] [--backend pallas|xla] [--all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_MRAYS = 500.0  # BASELINE.md north-star for v5e single chip
+
+
+def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
+    import jax
+
+    from cosig_tpu.accel.clusters import build_clusters
+    from cosig_tpu.models.soa import compile_scene, frame_params, static_config
+    from cosig_tpu.ops import trace_pallas, trace_xla
+    from cosig_tpu.scene.generate import CONFIGS
+
+    scene, settings = CONFIGS[name]()
+    arrays = compile_scene(scene)
+    params = frame_params(scene, settings)
+    cfg = static_config(scene, settings)
+
+    interpret = jax.default_backend() == "cpu"
+
+    from cosig_tpu.models.soa import materials_host
+    from cosig_tpu.scene.tessellate import extract_triangles
+
+    # Timing protocol for tunneled TPUs (axon), where (a) a device->host
+    # transfer permanently degrades dispatch latency (~30 ms/call) and
+    # (b) block_until_ready acknowledges the *enqueue*, not completion:
+    # enqueue N frames back-to-back, then force completion of the whole
+    # chain with ONE scalar readback (device executes in launch order),
+    # and amortize the single round-trip over N.
+    if backend == "pallas":
+        tris = extract_triangles(scene)
+        mats = np.concatenate(materials_host(scene), axis=1)
+        cset = build_clusters(arrays, tris=tris, mats_host=mats)
+
+        def run():
+            return trace_pallas.render_jit(cset, params, cfg, interpret=interpret)
+
+    else:
+
+        def run():
+            img = trace_xla.render_jit(arrays, params, cfg)
+            return img, jnp_sum_probe(img)
+
+    import jax.numpy as jnp
+
+    def jnp_sum_probe(img):
+        return jnp.sum(img[:2, :2])
+
+    # Warmup/compile WITHOUT any readback — the process stays in clean
+    # (async-dispatch) mode until the timed chain's single readback.
+    t0 = time.perf_counter()
+    img, probe = run()
+    img.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    # Scale the chain length so device time dominates the one ~30 ms
+    # round-trip that ends it.
+    pixels = cfg.width * cfg.height * cfg.aa_samples
+    n_frames = max(repeats, min(64, int(2.0e8 / max(pixels, 1)) + 1))
+
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        img, probe = run()
+    rays_or_probe = float(probe)  # one readback drains the whole chain
+    total = time.perf_counter() - t0
+
+    per_frame = total / n_frames
+
+    if backend == "pallas":
+        rays = rays_or_probe
+    else:
+        from cosig_tpu.render.renderer import estimate_rays
+
+        rays = float(estimate_rays(cfg))
+    best = per_frame
+    mrays = rays / best / 1e6
+    result = {
+        "config": name,
+        "frames_timed": n_frames,
+        "chain_total_s": total,
+        "backend": backend,
+        "resolution": [cfg.width, cfg.height],
+        "max_depth": cfg.max_depth,
+        "aa": cfg.aa_samples,
+        "triangles": arrays.num_triangles,
+        "ms_per_frame": best * 1e3,
+        "rays_traced": rays,
+        "mrays_per_s": mrays,
+        "compile_s": compile_s,
+        "image_mean": float(np.asarray(img).mean()),
+    }
+    if not quiet:
+        print(json.dumps(result, indent=2), file=sys.stderr)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="glass_sphere")
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--all", action="store_true", help="run all 5 configs (details to stderr)")
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--emit-details", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.all:
+        # One subprocess per config: a device->host readback poisons
+        # dispatch latency for the rest of the process on tunneled TPUs,
+        # so cross-config contamination must be avoided.
+        import subprocess
+
+        results = {}
+        for name in ("diffuse_sphere", "cosig_walls", "mirror_sphere", "glass_sphere", "large_mesh"):
+            cmd = [
+                sys.executable, __file__,
+                "--config", name,
+                "--backend", args.backend,
+                "--repeats", str(args.repeats),
+                "--emit-details",
+            ]
+            try:
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=1800, check=True
+                )
+                results[name] = json.loads(out.stdout.strip().splitlines()[-1])
+                print(json.dumps(results[name], indent=2), file=sys.stderr)
+            except Exception as e:  # keep the sweep alive
+                print(f"{name}: FAILED {e}", file=sys.stderr)
+        with open("bench_details.json", "w") as f:
+            json.dump(results, f, indent=2)
+        headline = results.get("glass_sphere")
+    elif args.emit_details:
+        print(json.dumps(bench_config(args.config, args.backend, args.repeats)))
+        return
+    else:
+        headline = bench_config(args.config, args.backend, args.repeats)
+
+    value = headline["mrays_per_s"] if headline else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": f"Mrays/s {headline['config']} {headline['resolution'][0]}x"
+                f"{headline['resolution'][1]} depth{headline['max_depth']} "
+                f"aa{headline['aa']} ({headline['backend']})",
+                "value": round(value, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(value / TARGET_MRAYS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

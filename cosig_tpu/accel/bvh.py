@@ -136,7 +136,23 @@ def _build_python(tris: TriangleSoA, max_leaf: int) -> BVH:
         left_mask = c < pivot
         mid = start + int(left_mask.sum())
         if mid == start or mid == start + count:
-            return node  # degenerate partition -> leaf (:142-145)
+            # Robustness beyond the reference (which bails to a leaf,
+            # :142-145): an oversized triangle can stretch the node bounds
+            # so that every *centroid* sits on one side of the bounds
+            # center. Retry splitting at the centroid-extent median before
+            # giving up — otherwise scenes with large ground planes
+            # degenerate to thousand-triangle leaves.
+            node_centers = centers[sel]
+            cmin = node_centers.min(axis=0)
+            cmax = node_centers.max(axis=0)
+            cext = cmax - cmin
+            axis = int(np.argmax(cext))
+            pivot = (cmin[axis] + cmax[axis]) * F32(0.5)
+            c = node_centers[:, axis]
+            left_mask = c < pivot
+            mid = start + int(left_mask.sum())
+            if mid == start or mid == start + count:
+                return node  # all centroids coincide -> leaf
         indices[start : start + count] = np.concatenate(
             [sel[left_mask], sel[~left_mask]]
         )

@@ -68,7 +68,12 @@ class ClusterSet:
         return cls(*children, aux[0])
 
 
-def _pack_materials(arrays: SceneArrays) -> np.ndarray:
+def _pack_materials(arrays: SceneArrays, mats_host: np.ndarray | None) -> np.ndarray:
+    if mats_host is not None:
+        return mats_host.astype(F32)
+    # Fallback: read back from device. AVOID on the axon tunnel — a
+    # device->host transfer permanently degrades dispatch latency there;
+    # callers with host-side scene data should pass mats_host.
     color = np.asarray(arrays.mat_color, F32)
     coeff = np.asarray(arrays.mat_coeff, F32)
     return np.concatenate([color, coeff], axis=1).astype(F32)
@@ -78,11 +83,13 @@ def build_clusters(
     arrays: SceneArrays,
     tris: TriangleSoA | None = None,
     k: int = DEFAULT_K,
+    mats_host: np.ndarray | None = None,
 ) -> ClusterSet:
     """Build the cluster structure from the compiled scene.
 
-    If ``tris`` is omitted, the triangle soup is reconstructed from the
-    device arrays (cheap at these scene sizes)."""
+    Pass host-side ``tris`` and ``mats_host`` whenever available —
+    reconstructing them from device arrays costs device->host readbacks
+    (which also poison dispatch latency on tunneled TPU setups)."""
     if tris is None:
         tris = TriangleSoA(
             v0=np.asarray(arrays.tri_v0, F32),
@@ -102,7 +109,7 @@ def build_clusters(
         return ClusterSet(
             geom=jnp.asarray(geom),
             aabb_t=jnp.asarray(aabb_t),
-            mats=jnp.asarray(_pack_materials(arrays)),
+            mats=jnp.asarray(_pack_materials(arrays, mats_host)),
             num_triangles=0,
         )
 
@@ -145,6 +152,6 @@ def build_clusters(
     return ClusterSet(
         geom=jnp.asarray(geom),
         aabb_t=jnp.asarray(aabb_t),
-        mats=jnp.asarray(_pack_materials(arrays)),
+        mats=jnp.asarray(_pack_materials(arrays, mats_host)),
         num_triangles=t,
     )

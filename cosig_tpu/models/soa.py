@@ -129,14 +129,9 @@ class StaticConfig:
 # Compilation from the parsed scene
 
 
-def compile_scene(scene: SceneData, tris: Optional[TriangleSoA] = None) -> SceneArrays:
-    """Tessellate + pack the scene into device arrays.
-
-    Materials fall back to a single white-diffuse entry when the scene has
-    none (RayTracer.cs:455-474)."""
-    if tris is None:
-        tris = extract_triangles(scene)
-
+def materials_host(scene: SceneData) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side material tables (color [M,3], coeff [M,5]); white-diffuse
+    fallback when the scene has none (RayTracer.cs:455-474)."""
     if scene.materials:
         mat_color = np.array([m.color for m in scene.materials], dtype=F32)
         mat_coeff = np.array(
@@ -146,6 +141,15 @@ def compile_scene(scene: SceneData, tris: Optional[TriangleSoA] = None) -> Scene
     else:
         mat_color = np.array([[1.0, 1.0, 1.0]], dtype=F32)
         mat_coeff = np.array([[0.1, 0.7, 0.0, 0.0, 1.0]], dtype=F32)
+    return mat_color, mat_coeff
+
+
+def compile_scene(scene: SceneData, tris: Optional[TriangleSoA] = None) -> SceneArrays:
+    """Tessellate + pack the scene into device arrays."""
+    if tris is None:
+        tris = extract_triangles(scene)
+
+    mat_color, mat_coeff = materials_host(scene)
 
     return SceneArrays(
         tri_v0=jnp.asarray(tris.v0),

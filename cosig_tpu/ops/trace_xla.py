@@ -210,18 +210,23 @@ def render_image(
     cfg: StaticConfig,
     closest_hit: Callable[..., Hit] = closest_hit_brute,
     pixel_tile: int = DEFAULT_PIXEL_TILE,
+    row_offset=0,
+    rows: int = None,
 ):
-    """Render the full frame -> [H, W, 3] f32, row 0 at the bottom.
+    """Render frame rows [row_offset, row_offset+rows) -> [rows, W, 3] f32,
+    row 0 at the bottom of the global image.
 
-    Pixels are processed in tiles via ``lax.map`` so temporaries stay
-    bounded regardless of resolution."""
-    w, h = cfg.width, cfg.height
+    ``rows``/``row_offset`` support framebuffer sharding: the projection
+    plane always uses the GLOBAL cfg.width/cfg.height, only the rendered
+    band is restricted. Pixels are processed in tiles via ``lax.map`` so
+    temporaries stay bounded regardless of resolution."""
+    w, h = cfg.width, (cfg.height if rows is None else rows)
     n = w * h
     ys, xs = jnp.meshgrid(
         jnp.arange(h, dtype=F), jnp.arange(w, dtype=F), indexing="ij"
     )
     px = xs.reshape(-1)
-    py = ys.reshape(-1)
+    py = ys.reshape(-1) + jnp.asarray(row_offset, F)
 
     tile = min(pixel_tile, n)
     pad = (-n) % tile

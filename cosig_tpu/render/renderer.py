@@ -68,10 +68,20 @@ class Renderer:
         self._cached_scene = None
         self._cached_arrays = None
         self._cached_accel = None
+        self._cached_tris = None
+        self._cached_mats_host = None
 
     def _arrays_for(self, scene: SceneData) -> SceneArrays:
         if self._cached_scene is not scene or self._cached_arrays is None:
-            self._cached_arrays = compile_scene(scene)
+            from cosig_tpu.models.soa import materials_host
+            from cosig_tpu.scene.tessellate import extract_triangles
+
+            # Keep host copies of geometry/materials: the acceleration
+            # builder needs them, and re-reading device arrays would cost
+            # device->host transfers.
+            self._cached_tris = extract_triangles(scene)
+            self._cached_mats_host = np.concatenate(materials_host(scene), axis=1)
+            self._cached_arrays = compile_scene(scene, self._cached_tris)
             self._cached_scene = scene
             self._cached_accel = None
         return self._cached_arrays

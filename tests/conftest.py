@@ -3,12 +3,18 @@ multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon sitecustomize force-registers the tunneled TPU backend and
+# overrides JAX_PLATFORMS; undo that so tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
