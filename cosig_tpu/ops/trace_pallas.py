@@ -13,10 +13,10 @@ Data-layout contract (see :mod:`cosig_tpu.accel.clusters`):
 * ray x triangle pair grids are ``(K, R)`` (K on sublanes) — built by
   broadcasting triangle columns ``(K, 1)`` against ray planes ``(1, R)``;
   no transposes/relayouts anywhere in the hot loop;
-* cluster AABBs and materials are SMEM scalars;
-* traversal state (best t / normal / material) lives in a VMEM scratch and
-  is updated under ``@pl.when(packet_may_hit_cluster)`` — the packet
-  analog of the reference's stack early-out (compute:245-246).
+* materials and frame uniforms are SMEM scalars;
+* traversal state (best t / normal / material) and ray state live in VMEM
+  scratches; each bounce runs under ``@pl.when(any_ray_alive)`` so dead
+  tiles skip whole bounces — the tile-level analog of ray compaction.
 
 Shading semantics are the same quirk-preserving rules as
 :mod:`cosig_tpu.ops.shade` (see its docstring), re-expressed on planes.
@@ -124,7 +124,7 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int):
 
     def kernel(
         uniforms, mats, lights, aabb_t, geom,
-        out_ref, best_ref, flag_vmem, flags_smem, list_smem, sem,
+        out_ref, best_ref, state, flag_vmem, flags_smem, list_smem, sem,
     ):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -297,12 +297,15 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int):
             return props  # cr, cg, cb, kA, kD, kS, kRefr, ior
 
         # ------------------------------------------------------------------
+        # Ray state lives in the VMEM scratch `state` so each bounce can be
+        # a @pl.when(any_ray_alive) block — dead tiles skip whole bounces
+        # (traversal + shadow + shading), the tile-level form of ray
+        # compaction. Rows: 0-2 origin, 3-5 direction, 6-8 attenuation,
+        # 9-11 sample color, 12 alive flag, 13 ray count (across samples).
         acc_r = jnp.zeros((1, R), F)
         acc_g = jnp.zeros((1, R), F)
         acc_b = jnp.zeros((1, R), F)
-        # Per-ray traversal count (row 3 of the output): doubles as a cost
-        # heatmap and yields the honest rays-traced total for Mrays/s.
-        ray_count = jnp.zeros((1, R), F)
+        state[13:14] = jnp.zeros((1, R), F)
 
         for s in range(aa):
             # ---- AA offsets (compute:300-310) ----
@@ -348,177 +351,196 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int):
                 oy = oy + (ry - F(0.5)) * scale
                 oz = oz + (rz - F(0.5)) * scale
 
-            scol_r = jnp.zeros((1, R), F)
-            scol_g = jnp.zeros((1, R), F)
-            scol_b = jnp.zeros((1, R), F)
-            at_r = jnp.ones((1, R), F)
-            at_g = jnp.ones((1, R), F)
-            at_b = jnp.ones((1, R), F)
-            alive = jnp.ones((1, R), bool)
+            state[0:1] = ox
+            state[1:2] = oy
+            state[2:3] = oz
+            state[3:4] = dx
+            state[4:5] = dy
+            state[5:6] = dz
+            state[6:9] = jnp.ones((3, R), F)   # attenuation
+            state[9:12] = jnp.zeros((3, R), F)  # sample color
+            state[12:13] = jnp.ones((1, R), F)  # alive
 
             for depth in range(cfg.max_depth):
-                ray_count = ray_count + alive.astype(F)
-                hit, t, nx, ny, nz, mat_c = traverse(ox, oy, oz, dx, dy, dz, alive)
+                any_alive = jnp.sum(state[12:13]) > F(0.0)
 
-                miss = alive & ~hit
-                scol_r = scol_r + jnp.where(miss, at_r * bg[0], F(0.0))
-                scol_g = scol_g + jnp.where(miss, at_g * bg[1], F(0.0))
-                scol_b = scol_b + jnp.where(miss, at_b * bg[2], F(0.0))
-                alive = alive & hit
+                @pl.when(any_alive)
+                def _(depth=depth, s=s):
+                    ox, oy, oz = state[0:1], state[1:2], state[2:3]
+                    dx, dy, dz = state[3:4], state[4:5], state[5:6]
+                    at_r, at_g, at_b = state[6:7], state[7:8], state[8:9]
+                    scol_r, scol_g, scol_b = state[9:10], state[10:11], state[11:12]
+                    alive = state[12:13] > F(0.0)
 
-                hx = ox + t * dx
-                hy = oy + t * dy
-                hz = oz + t * dz
-                cr, cg, cb, ka, kd, ks, krefr, ior = fetch_mat(mat_c)
+                    state[13:14] = state[13:14] + alive.astype(F)
+                    hit, t, nx, ny, nz, mat_c = traverse(ox, oy, oz, dx, dy, dz, alive)
 
-                loc_r = cr * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
-                loc_g = cg * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
-                loc_b = cb * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
+                    miss = alive & ~hit
+                    scol_r = scol_r + jnp.where(miss, at_r * bg[0], F(0.0))
+                    scol_g = scol_g + jnp.where(miss, at_g * bg[1], F(0.0))
+                    scol_b = scol_b + jnp.where(miss, at_b * bg[2], F(0.0))
+                    alive = alive & hit
 
-                depth_f = F(float(depth))
-                for li in range(L):
-                    lx, ly, lz = lights[li, 0], lights[li, 1], lights[li, 2]
-                    lpx = jnp.full((1, R), 1.0, F) * lx
-                    lpy = jnp.full((1, R), 1.0, F) * ly
-                    lpz = jnp.full((1, R), 1.0, F) * lz
-                    if cfg.enable_soft_shadows:
-                        jx_, jy_, jz_ = _ruv_planes(
-                            px + F(s * 9.0),
-                            py + F(s * 4.0) + depth_f,
-                            jnp.full((1, R), s, F),
-                        )
-                        lpx = lpx + jx_ * light_size
-                        lpy = lpy + jy_ * light_size
-                        lpz = lpz + jz_ * light_size
+                    hx = ox + t * dx
+                    hy = oy + t * dy
+                    hz = oz + t * dz
+                    cr, cg, cb, ka, kd, ks, krefr, ior = fetch_mat(mat_c)
 
-                    tlx = lpx - hx
-                    tly = lpy - hy
-                    tlz = lpz - hz
-                    dist_l = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
-                    ldx, ldy, ldz = _rsqrt_planes(tlx, tly, tlz)
-                    ndl = jnp.maximum(F(0.0), nx * ldx + ny * ldy + nz * ldz)
+                    loc_r = cr * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
+                    loc_g = cg * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
+                    loc_b = cb * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
 
-                    if cfg.enable_diffuse:
-                        shadow_active = alive & (ndl > F(0.0))
-                        ray_count = ray_count + shadow_active.astype(F)
-                        shx = hx + nx * OFFSET
-                        shy = hy + ny * OFFSET
-                        shz = hz + nz * OFFSET
-                        s_hit, s_t, *_ = traverse(
-                            shx, shy, shz, ldx, ldy, ldz, shadow_active
-                        )
-                        lit = (~s_hit) | (s_t > dist_l)
-
-                        gate = lit & (ndl > F(0.0)) & alive
-                        dr = cr * kd * ndl
-                        dg = cg * kd * ndl
-                        db = cb * kd * ndl
-                        if cfg.enable_specular:
-                            hvx, hvy, hvz = _rsqrt_planes(ldx - dx, ldy - dy, ldz - dz)
-                            spec = _pow32(
-                                jnp.maximum(nx * hvx + ny * hvy + nz * hvz, F(0.0))
+                    depth_f = F(float(depth))
+                    for li in range(L):
+                        lx, ly, lz = lights[li, 0], lights[li, 1], lights[li, 2]
+                        lpx = jnp.full((1, R), 1.0, F) * lx
+                        lpy = jnp.full((1, R), 1.0, F) * ly
+                        lpz = jnp.full((1, R), 1.0, F) * lz
+                        if cfg.enable_soft_shadows:
+                            jx_, jy_, jz_ = _ruv_planes(
+                                px + F(s * 9.0),
+                                py + F(s * 4.0) + depth_f,
+                                jnp.full((1, R), s, F),
                             )
-                            dr = dr + ks * spec
-                            dg = dg + ks * spec
-                            db = db + ks * spec
-                        if cfg.multi_light:
-                            lr, lg, lb = lights[li, 3], lights[li, 4], lights[li, 5]
-                            dr, dg, db = dr * lr, dg * lg, db * lb
-                        loc_r = loc_r + jnp.where(gate, dr, F(0.0))
-                        loc_g = loc_g + jnp.where(gate, dg, F(0.0))
-                        loc_b = loc_b + jnp.where(gate, db, F(0.0))
+                            lpx = lpx + jx_ * light_size
+                            lpy = lpy + jy_ * light_size
+                            lpz = lpz + jz_ * light_size
 
-                scol_r = scol_r + jnp.where(alive, at_r * loc_r * intensity, F(0.0))
-                scol_g = scol_g + jnp.where(alive, at_g * loc_g * intensity, F(0.0))
-                scol_b = scol_b + jnp.where(alive, at_b * loc_b * intensity, F(0.0))
+                        tlx = lpx - hx
+                        tly = lpy - hy
+                        tlz = lpz - hz
+                        dist_l = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+                        ldx, ldy, ldz = _rsqrt_planes(tlx, tly, tlz)
+                        ndl = jnp.maximum(F(0.0), nx * ldx + ny * ldy + nz * ldz)
 
-                if depth == cfg.max_depth - 1:
-                    break  # no secondary rays after the final bounce
+                        if cfg.enable_diffuse:
+                            shadow_active = alive & (ndl > F(0.0))
+                            state[13:14] = state[13:14] + shadow_active.astype(F)
+                            shx = hx + nx * OFFSET
+                            shy = hy + ny * OFFSET
+                            shz = hz + nz * OFFSET
+                            s_hit, s_t, *_ = traverse(
+                                shx, shy, shz, ldx, ldy, ldz, shadow_active
+                            )
+                            lit = (~s_hit) | (s_t > dist_l)
 
-                # ---- secondary ray (compute:420-455) ----
-                should_reflect = ks > F(0.0)
-                should_refract = (
-                    (krefr > F(0.0)) if cfg.enable_refraction else jnp.zeros((1, R), bool)
-                )
+                            gate = lit & (ndl > F(0.0)) & alive
+                            dr = cr * kd * ndl
+                            dg = cg * kd * ndl
+                            db = cb * kd * ndl
+                            if cfg.enable_specular:
+                                hvx, hvy, hvz = _rsqrt_planes(ldx - dx, ldy - dy, ldz - dz)
+                                spec = _pow32(
+                                    jnp.maximum(nx * hvx + ny * hvy + nz * hvz, F(0.0))
+                                )
+                                dr = dr + ks * spec
+                                dg = dg + ks * spec
+                                db = db + ks * spec
+                            if cfg.multi_light:
+                                lr, lg, lb = lights[li, 3], lights[li, 4], lights[li, 5]
+                                dr, dg, db = dr * lr, dg * lg, db * lb
+                            loc_r = loc_r + jnp.where(gate, dr, F(0.0))
+                            loc_g = loc_g + jnp.where(gate, dg, F(0.0))
+                            loc_b = loc_b + jnp.where(gate, db, F(0.0))
 
-                cos_in = dx * nx + dy * ny + dz * nz
-                exiting = cos_in > F(0.0)
-                fnx = jnp.where(exiting, -nx, nx)
-                fny = jnp.where(exiting, -ny, ny)
-                fnz = jnp.where(exiting, -nz, nz)
-                eta = jnp.where(exiting, ior, F(1.0) / ior)
-                cos = -(dx * fnx + dy * fny + dz * fnz)
-                kk = F(1.0) - eta * eta * (F(1.0) - cos * cos)
-                tir = kk < F(0.0)
-                coef = eta * cos - jnp.sqrt(jnp.maximum(kk, F(0.0)))
-                rfx = eta * dx + coef * fnx
-                rfy = eta * dy + coef * fny
-                rfz = eta * dz + coef * fnz
-                # reflect about flipped normal (TIR) / plain normal
-                dot_f = dx * fnx + dy * fny + dz * fnz
-                tirx = dx - F(2.0) * dot_f * fnx
-                tiry = dy - F(2.0) * dot_f * fny
-                tirz = dz - F(2.0) * dot_f * fnz
-                dot_p = cos_in
-                rpx = dx - F(2.0) * dot_p * nx
-                rpy = dy - F(2.0) * dot_p * ny
-                rpz = dz - F(2.0) * dot_p * nz
+                    scol_r = scol_r + jnp.where(alive, at_r * loc_r * intensity, F(0.0))
+                    scol_g = scol_g + jnp.where(alive, at_g * loc_g * intensity, F(0.0))
+                    scol_b = scol_b + jnp.where(alive, at_b * loc_b * intensity, F(0.0))
+                    state[9:10] = scol_r
+                    state[10:11] = scol_g
+                    state[11:12] = scol_b
 
-                ndx = jnp.where(should_refract, jnp.where(tir, tirx, rfx), rpx)
-                ndy = jnp.where(should_refract, jnp.where(tir, tiry, rfy), rpy)
-                ndz = jnp.where(should_refract, jnp.where(tir, tirz, rfz), rpz)
-                amr = jnp.where(should_refract, jnp.where(tir, cr * ks, cr * krefr), cr * ks)
-                amg = jnp.where(should_refract, jnp.where(tir, cg * ks, cg * krefr), cg * ks)
-                amb = jnp.where(should_refract, jnp.where(tir, cb * ks, cb * krefr), cb * ks)
-                sox = jnp.where(
-                    should_refract,
-                    jnp.where(tir, hx + fnx * OFFSET, hx + rfx * OFFSET),
-                    hx + nx * OFFSET,
-                )
-                soy = jnp.where(
-                    should_refract,
-                    jnp.where(tir, hy + fny * OFFSET, hy + rfy * OFFSET),
-                    hy + ny * OFFSET,
-                )
-                soz = jnp.where(
-                    should_refract,
-                    jnp.where(tir, hz + fnz * OFFSET, hz + rfz * OFFSET),
-                    hz + nz * OFFSET,
-                )
+                    if depth == cfg.max_depth - 1:
+                        state[12:13] = jnp.zeros((1, R), F)
+                        return  # no secondary rays after the final bounce
 
-                if cfg.enable_glossy:
-                    gx_, gy_, gz_ = _ruv_planes(
-                        px + F(s * 55.0) + depth_f,
-                        py + F(s * 22.0),
-                        jnp.full((1, R), 13.0, F) * depth_f,
+                    # ---- secondary ray (compute:420-455) ----
+                    should_reflect = ks > F(0.0)
+                    should_refract = (
+                        (krefr > F(0.0)) if cfg.enable_refraction else jnp.zeros((1, R), bool)
                     )
-                    ndx = ndx + gx_ * roughness
-                    ndy = ndy + gy_ * roughness
-                    ndz = ndz + gz_ * roughness
 
-                cont = alive & (should_reflect | should_refract)
-                ndx, ndy, ndz = _rsqrt_planes(ndx, ndy, ndz)
-                at_r = jnp.where(cont, at_r * amr, at_r)
-                at_g = jnp.where(cont, at_g * amg, at_g)
-                at_b = jnp.where(cont, at_b * amb, at_b)
-                ox = jnp.where(cont, sox, ox)
-                oy = jnp.where(cont, soy, oy)
-                oz = jnp.where(cont, soz, oz)
-                dx = jnp.where(cont, ndx, dx)
-                dy = jnp.where(cont, ndy, dy)
-                dz = jnp.where(cont, ndz, dz)
-                max_at = jnp.maximum(jnp.maximum(at_r, at_g), at_b)
-                alive = cont & (max_at > F(0.0))
+                    cos_in = dx * nx + dy * ny + dz * nz
+                    exiting = cos_in > F(0.0)
+                    fnx = jnp.where(exiting, -nx, nx)
+                    fny = jnp.where(exiting, -ny, ny)
+                    fnz = jnp.where(exiting, -nz, nz)
+                    eta = jnp.where(exiting, ior, F(1.0) / ior)
+                    cos = -(dx * fnx + dy * fny + dz * fnz)
+                    kk = F(1.0) - eta * eta * (F(1.0) - cos * cos)
+                    tir = kk < F(0.0)
+                    coef = eta * cos - jnp.sqrt(jnp.maximum(kk, F(0.0)))
+                    rfx = eta * dx + coef * fnx
+                    rfy = eta * dy + coef * fny
+                    rfz = eta * dz + coef * fnz
+                    # reflect about flipped normal (TIR) / plain normal
+                    dot_f = dx * fnx + dy * fny + dz * fnz
+                    tirx = dx - F(2.0) * dot_f * fnx
+                    tiry = dy - F(2.0) * dot_f * fny
+                    tirz = dz - F(2.0) * dot_f * fnz
+                    dot_p = cos_in
+                    rpx = dx - F(2.0) * dot_p * nx
+                    rpy = dy - F(2.0) * dot_p * ny
+                    rpz = dz - F(2.0) * dot_p * nz
 
-            acc_r = acc_r + scol_r
-            acc_g = acc_g + scol_g
-            acc_b = acc_b + scol_b
+                    ndx = jnp.where(should_refract, jnp.where(tir, tirx, rfx), rpx)
+                    ndy = jnp.where(should_refract, jnp.where(tir, tiry, rfy), rpy)
+                    ndz = jnp.where(should_refract, jnp.where(tir, tirz, rfz), rpz)
+                    amr = jnp.where(should_refract, jnp.where(tir, cr * ks, cr * krefr), cr * ks)
+                    amg = jnp.where(should_refract, jnp.where(tir, cg * ks, cg * krefr), cg * ks)
+                    amb = jnp.where(should_refract, jnp.where(tir, cb * ks, cb * krefr), cb * ks)
+                    sox = jnp.where(
+                        should_refract,
+                        jnp.where(tir, hx + fnx * OFFSET, hx + rfx * OFFSET),
+                        hx + nx * OFFSET,
+                    )
+                    soy = jnp.where(
+                        should_refract,
+                        jnp.where(tir, hy + fny * OFFSET, hy + rfy * OFFSET),
+                        hy + ny * OFFSET,
+                    )
+                    soz = jnp.where(
+                        should_refract,
+                        jnp.where(tir, hz + fnz * OFFSET, hz + rfz * OFFSET),
+                        hz + nz * OFFSET,
+                    )
+
+                    if cfg.enable_glossy:
+                        gx_, gy_, gz_ = _ruv_planes(
+                            px + F(s * 55.0) + depth_f,
+                            py + F(s * 22.0),
+                            jnp.full((1, R), 13.0, F) * depth_f,
+                        )
+                        ndx = ndx + gx_ * roughness
+                        ndy = ndy + gy_ * roughness
+                        ndz = ndz + gz_ * roughness
+
+                    cont = alive & (should_reflect | should_refract)
+                    ndx, ndy, ndz = _rsqrt_planes(ndx, ndy, ndz)
+                    at_r = jnp.where(cont, at_r * amr, at_r)
+                    at_g = jnp.where(cont, at_g * amg, at_g)
+                    at_b = jnp.where(cont, at_b * amb, at_b)
+                    state[6:7] = at_r
+                    state[7:8] = at_g
+                    state[8:9] = at_b
+                    state[0:1] = jnp.where(cont, sox, ox)
+                    state[1:2] = jnp.where(cont, soy, oy)
+                    state[2:3] = jnp.where(cont, soz, oz)
+                    state[3:4] = jnp.where(cont, ndx, dx)
+                    state[4:5] = jnp.where(cont, ndy, dy)
+                    state[5:6] = jnp.where(cont, ndz, dz)
+                    max_at = jnp.maximum(jnp.maximum(at_r, at_g), at_b)
+                    state[12:13] = (cont & (max_at > F(0.0))).astype(F)
+
+            acc_r = acc_r + state[9:10]
+            acc_g = acc_g + state[10:11]
+            acc_b = acc_b + state[11:12]
 
         inv_aa = F(1.0 / aa)
         out_ref[0:1] = acc_r * inv_aa
         out_ref[1:2] = acc_g * inv_aa
         out_ref[2:3] = acc_b * inv_aa
-        out_ref[3:4] = ray_count
+        out_ref[3:4] = state[13:14]
 
     return kernel
 
@@ -567,6 +589,7 @@ def render_clusters(
         out_shape=jax.ShapeDtypeStruct((4, n_tiles * R), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((8, R), jnp.float32),      # best-hit state
+            pltpu.VMEM((16, R), jnp.float32),     # ray state (o,d,atten,col,alive,count)
             pltpu.VMEM((1, C_pad), jnp.int32),    # cluster flags (vector)
             pltpu.SMEM((1, C_pad), jnp.int32),    # cluster flags (scalar)
             pltpu.SMEM((1, C_pad), jnp.int32),    # compacted hit list
