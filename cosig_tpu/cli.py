@@ -49,6 +49,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--glossy", type=float, metavar="ROUGHNESS")
     p.add_argument("--motion-blur", type=float, metavar="SHUTTER")
     p.add_argument("--multi-light", action="store_true")
+    p.add_argument("--analytic", action="store_true",
+                   help="analytic sphere/box intersection instead of tessellation")
     p.add_argument("--debug-mode", type=int, default=0, choices=[0, 1, 2, 3])
     p.add_argument("--preset", help="load settings from a preset JSON first")
 
@@ -113,6 +115,8 @@ def _settings_from_args(args, base):
         kw["shutter_speed"] = args.motion_blur
     if args.multi_light:
         kw["multi_light"] = True
+    if getattr(args, "analytic", False):
+        kw["analytic_primitives"] = True
     if args.debug_mode:
         kw["debug_mode"] = args.debug_mode
     return s.replace(**kw) if kw else s
@@ -160,6 +164,34 @@ def cmd_turntable(args) -> int:
     print(
         f"GIF: {time.perf_counter()-t0:.2f}s ({len(frames)} frames) -> {args.output}"
     )
+    return 0
+
+
+def cmd_preview(args) -> int:
+    """Realtime preview loop: repeated renders with an orbiting camera and
+    an FPS readout — the reference's Update() loop + FPS label
+    (SceneBuilder.cs:501,520-538), headless."""
+    from cosig_tpu.render.renderer import Renderer
+    from cosig_tpu.utils.png import write_png
+
+    scene, base = _load_scene_arg(args.scene)
+    settings = _settings_from_args(args, base)
+    renderer = Renderer(backend=args.backend)
+    rot = settings.camera_rotation_override or (0.0, 0.0, 0.0)
+
+    t_start = time.perf_counter()
+    for i in range(args.frames):
+        s = settings.replace(
+            camera_rotation_override=(rot[0], rot[1], rot[2] + i * args.orbit)
+        )
+        t0 = time.perf_counter()
+        img = renderer.render(scene, s)  # includes readback, like a display
+        dt = time.perf_counter() - t0
+        print(f"\rframe {i+1}/{args.frames}  {1.0/dt:6.2f} FPS ", end="", flush=True)
+        if args.save_dir:
+            write_png(f"{args.save_dir}/frame_{i:04d}.png", img)
+    total = time.perf_counter() - t_start
+    print(f"\n{args.frames} frames in {total:.2f}s ({args.frames/total:.2f} FPS avg)")
     return 0
 
 
@@ -232,6 +264,13 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=36)
     p.add_argument("--delay", type=int, default=15, help="centiseconds per frame")
     p.set_defaults(fn=cmd_turntable)
+
+    p = sub.add_parser("preview", help="realtime preview loop with FPS readout")
+    _add_render_args(p)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--orbit", type=float, default=10.0, help="deg/frame camera Z orbit")
+    p.add_argument("--save-dir")
+    p.set_defaults(fn=cmd_preview)
 
     p = sub.add_parser("compare", help="RMSE/PSNR between two PNGs")
     p.add_argument("image_a")

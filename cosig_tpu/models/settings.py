@@ -58,6 +58,10 @@ class RenderSettings:
     shutter_speed: float = 0.0
 
     # ----- extensions beyond the reference -----
+    # Analytic sphere/box intersection instead of tessellation (XLA
+    # backend) — the live version of the reference's dead CPU oracle path
+    # (HittableObjects.cs); exact silhouettes, no 768-triangle spheres.
+    analytic_primitives: bool = False
     # 0 = faithful mode: only lights[0], light RGB ignored (white), exactly
     #     like the reference shader (RayTracer.cs:167-176, compute:383-418).
     # 1 = multi-light mode: all scene lights contribute with their RGB.

@@ -249,3 +249,16 @@ def render_image(
 @functools.partial(jax.jit, static_argnames=("cfg", "pixel_tile"))
 def render_jit(scene, params, cfg: StaticConfig, pixel_tile: int = DEFAULT_PIXEL_TILE):
     return render_image(scene, params, cfg, pixel_tile=pixel_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pixel_tile"))
+def render_jit_analytic(
+    scene, prims, params, cfg: StaticConfig, pixel_tile: int = DEFAULT_PIXEL_TILE
+):
+    """Render with analytic sphere/box intersection (ops/analytic.py)."""
+    from cosig_tpu.ops.analytic import closest_hit_analytic
+
+    def ch(s, o, d):
+        return closest_hit_analytic(s, prims, o, d)
+
+    return render_image(scene, params, cfg, closest_hit=ch, pixel_tile=pixel_tile)

@@ -107,7 +107,22 @@ class Renderer:
 
         t0 = time.perf_counter()
         rays = None
-        if backend == "pallas" and cfg.debug_mode == 0:
+        if settings.analytic_primitives:
+            # Analytic sphere/box mode (XLA path; ops/analytic.py).
+            from cosig_tpu.ops.analytic import compile_analytic
+            from cosig_tpu.models.soa import compile_scene as _compile
+            from cosig_tpu.scene.tessellate import extract_triangles
+
+            key = ("analytic", scene)
+            if getattr(self, "_analytic_key", None) != key:
+                mesh_tris = extract_triangles(scene, include_primitives=False)
+                self._analytic_arrays = _compile(scene, mesh_tris)
+                self._analytic_prims = compile_analytic(scene)
+                self._analytic_key = key
+            img = trace_xla.render_jit_analytic(
+                self._analytic_arrays, self._analytic_prims, params, cfg
+            )
+        elif backend == "pallas" and cfg.debug_mode == 0:
             from cosig_tpu.render import pallas_backend
 
             img, rays = pallas_backend.render_jit(
@@ -131,7 +146,13 @@ class Renderer:
         if self._cached_accel is None:
             from cosig_tpu.accel.clusters import build_clusters
 
-            self._cached_accel = build_clusters(arrays)
+            # Host-side tris/mats avoid device->host readbacks (which
+            # poison dispatch latency on tunneled TPUs, see CLAUDE.md).
+            self._cached_accel = build_clusters(
+                arrays,
+                tris=self._cached_tris,
+                mats_host=self._cached_mats_host,
+            )
         return self._cached_accel
 
     def render(self, scene: SceneData, settings: RenderSettings) -> np.ndarray:

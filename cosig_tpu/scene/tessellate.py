@@ -222,10 +222,14 @@ def _sphere_triangles(scene: SceneData, sphere) -> TriangleSoA:
 # ---------------------------------------------------------------------------
 
 
-def extract_triangles(scene: SceneData) -> TriangleSoA:
+def extract_triangles(scene: SceneData, include_primitives: bool = True) -> TriangleSoA:
     """All scene geometry as triangles in object space, in the reference's
-    emit order: meshes, then boxes, then spheres (ExtractTriangles :18-51)."""
+    emit order: meshes, then boxes, then spheres (ExtractTriangles :18-51).
+
+    ``include_primitives=False`` leaves spheres/boxes out (analytic mode
+    intersects them directly, see ops/analytic.py)."""
     parts = [_mesh_triangles(scene, m) for m in scene.triangle_meshes]
-    parts += [_box_triangles(scene, b) for b in scene.boxes]
-    parts += [_sphere_triangles(scene, s) for s in scene.spheres]
+    if include_primitives:
+        parts += [_box_triangles(scene, b) for b in scene.boxes]
+        parts += [_sphere_triangles(scene, s) for s in scene.spheres]
     return TriangleSoA.concatenate(parts)
