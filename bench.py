@@ -45,47 +45,58 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     # enqueue N frames back-to-back, then force completion of the whole
     # chain with ONE scalar readback (device executes in launch order),
     # and amortize the single round-trip over N.
+    import jax.numpy as jnp
+
+    # K renders execute inside ONE dispatch (lax.scan); timing two chain
+    # lengths and taking the slope cancels ALL per-dispatch overhead —
+    # which on tunneled TPUs is large, variable, and mode-dependent.
     if backend == "pallas":
         tris = extract_triangles(scene)
         mats = np.concatenate(materials_host(scene), axis=1)
         cset = build_clusters(arrays, tris=tris, mats_host=mats)
 
-        def run():
-            return trace_pallas.render_jit(cset, params, cfg, interpret=interpret)
+        def chain(k):
+            img, rays = trace_pallas.render_chain(
+                cset, params, cfg, k, interpret=interpret
+            )
+            return img, rays
 
     else:
 
-        def run():
-            img = trace_xla.render_jit(arrays, params, cfg)
-            return img, jnp_sum_probe(img)
+        def chain(k):
+            def body(carry, _):
+                img = trace_xla.render_image(arrays, params, cfg)
+                return (img,), None
 
-    import jax.numpy as jnp
+            (img,), _ = jax.lax.scan(
+                body, (trace_xla.render_image(arrays, params, cfg),), None, length=k - 1
+            )
+            return img, jnp.sum(img[:2, :2])
 
-    def jnp_sum_probe(img):
-        return jnp.sum(img[:2, :2])
+        chain = jax.jit(chain, static_argnames=("k",))
 
-    # Warmup/compile WITHOUT any readback — the process stays in clean
-    # (async-dispatch) mode until the timed chain's single readback.
-    t0 = time.perf_counter()
-    img, probe = run()
-    img.block_until_ready()
-    compile_s = time.perf_counter() - t0
-
-    # Scale the chain length so device time dominates the one ~30 ms
-    # round-trip that ends it.
-    pixels = cfg.width * cfg.height * cfg.aa_samples
-    n_frames = max(repeats, min(64, int(2.0e8 / max(pixels, 1)) + 1))
+    # Pick chain lengths so the long chain runs ~repeats frames.
+    k1, k2 = 2, max(4, repeats)
 
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        img, probe = run()
-    rays_or_probe = float(probe)  # one readback drains the whole chain
-    total = time.perf_counter() - t0
+    img, probe = chain(k1)
+    _ = float(probe)
+    compile_s = time.perf_counter() - t0  # includes compile
 
-    per_frame = total / n_frames
+    def timed(k):
+        t0 = time.perf_counter()
+        img, probe = chain(k)
+        p = float(probe)
+        return time.perf_counter() - t0, img, p
+
+    t_k1, img, _ = timed(k1)
+    t_k2, img, probe_val = timed(k2)
+    per_frame = max((t_k2 - t_k1) / (k2 - k1), 1e-9)
+    total = t_k2
+    n_frames = k2
 
     if backend == "pallas":
-        rays = rays_or_probe
+        rays = float(probe_val) / k2  # chain sums rays across k frames
     else:
         from cosig_tpu.render.renderer import estimate_rays
 

@@ -612,3 +612,22 @@ def render_clusters(
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False):
     return render_clusters(cset, params, cfg, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "interpret"))
+def render_chain(cset, params, cfg: StaticConfig, k: int, interpret: bool = False):
+    """Render the same frame k times inside ONE dispatch (lax.scan).
+
+    For benchmarking on tunneled TPUs where per-dispatch overhead is large
+    and variable: timing two chain lengths and taking the slope isolates
+    pure device time per frame. Returns (last image, total rays)."""
+
+    def body(carry, _):
+        img, rays = render_clusters(cset, params, cfg, interpret)
+        return (img, carry[1] + rays), None
+
+    img0, rays0 = render_clusters(cset, params, cfg, interpret)
+    (img, total_rays), _ = jax.lax.scan(
+        body, (img0, rays0), None, length=k - 1
+    )
+    return img, total_rays
