@@ -131,7 +131,15 @@ def cmd_render(args) -> int:
     renderer = Renderer(backend=args.backend)
 
     t0 = time.perf_counter()
-    img = renderer.render(scene, settings)
+    if getattr(args, "chunk_rows", None):
+        img = renderer.render_chunked(
+            scene, settings, rows_per_chunk=args.chunk_rows,
+            checkpoint=args.checkpoint,
+            progress=lambda f: print(f"\rchunks: {f*100:.0f}%", end="", flush=True),
+        )
+        print()
+    else:
+        img = renderer.render(scene, settings)
     dt = time.perf_counter() - t0
     write_png(args.output, img)
     st = renderer.last_stats
@@ -257,6 +265,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("render", help="render a scene to PNG")
     _add_render_args(p)
+    p.add_argument("--chunk-rows", type=int,
+                   help="resumable chunked rendering with this many rows per chunk")
+    p.add_argument("--checkpoint", help="checkpoint path for chunked rendering")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("turntable", help="360-degree turntable GIF")

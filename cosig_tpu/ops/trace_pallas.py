@@ -40,9 +40,11 @@ from cosig_tpu.ops import rng
 
 F = np.float32
 
+# Default pixel-tile shape; render_clusters accepts overrides (the tile is
+# the packet: bigger tiles amortize per-traversal fixed costs, smaller
+# tiles cull tighter).
 TILE_W = 16
 TILE_H = 16
-R = TILE_W * TILE_H  # rays per tile
 
 INF = F(3.402823466e38)
 EPSILON = F(1e-4)
@@ -115,12 +117,14 @@ def build_lights(params: FrameParams, multi_light: bool) -> jax.Array:
     return jnp.concatenate([pos, rgb, pad], axis=1)
 
 
-def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int):
+def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
+                 tile_w: int, tile_h: int):
     """Build the megakernel body (all static config closed over)."""
 
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
     grid_w, grid_h = _aa_grid(aa)
+    R = tile_w * tile_h
 
     def kernel(
         uniforms, mats, lights, aabb_t, geom,
@@ -131,8 +135,8 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int):
         by = tile // nbx
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
-        pxi = bx * TILE_W + lane % TILE_W
-        pyi = by * TILE_H + lane // TILE_W
+        pxi = bx * tile_w + lane % tile_w
+        pyi = by * tile_h + lane // tile_w
         px = pxi.astype(F)
         py = pyi.astype(F)
 
@@ -555,12 +559,16 @@ def render_clusters(
     params: FrameParams,
     cfg: StaticConfig,
     interpret: bool = False,
+    tile: tuple = (TILE_H, TILE_W),
 ):
     """Render via the megakernel -> (image [H, W, 3] f32 row-0-bottom,
-    rays_traced scalar f32)."""
+    rays_traced scalar f32). ``tile`` = (rows, cols) per packet; cols must
+    be a multiple-of-?? no — rows*cols should be a multiple of 128 lanes."""
+    tile_h, tile_w = tile
+    R = tile_w * tile_h
     width, height = cfg.width, cfg.height
-    nbx = -(-width // TILE_W)
-    nby = -(-height // TILE_H)
+    nbx = -(-width // tile_w)
+    nby = -(-height // tile_h)
     n_tiles = nbx * nby
 
     C, K = cset.num_clusters, cset.k
@@ -570,7 +578,7 @@ def render_clusters(
     lights = build_lights(params, cfg.multi_light)
     L = int(lights.shape[0])
 
-    kernel = _make_kernel(cfg, C, K, M, L, nbx)
+    kernel = _make_kernel(cfg, C, K, M, L, nbx, tile_w, tile_h)
 
     C_pad = int(cset.aabb_t.shape[1])
     out = pl.pallas_call(
@@ -598,20 +606,21 @@ def render_clusters(
         interpret=interpret,
     )(uniforms, cset.mats, lights, cset.aabb_t, cset.geom)
 
-    # Un-tile: [4, nby, nbx, TILE_H, TILE_W] -> [H, W, 4]; rgb + ray count.
+    # Un-tile: [4, nby, nbx, tile_h, tile_w] -> [H, W, 4]; rgb + ray count.
     full = (
-        out.reshape(4, nby, nbx, TILE_H, TILE_W)
+        out.reshape(4, nby, nbx, tile_h, tile_w)
         .transpose(1, 3, 2, 4, 0)
-        .reshape(nby * TILE_H, nbx * TILE_W, 4)
+        .reshape(nby * tile_h, nbx * tile_w, 4)
     )
     img = full[:height, :width, :3]
     rays = jnp.sum(full[:height, :width, 3])
     return img, rays
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False):
-    return render_clusters(cset, params, cfg, interpret)
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "tile"))
+def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False,
+               tile: tuple = (TILE_H, TILE_W)):
+    return render_clusters(cset, params, cfg, interpret, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "interpret"))

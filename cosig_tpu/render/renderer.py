@@ -15,12 +15,15 @@ This is the TPU-native equivalent of ``Assets/Services/RayTracer.cs``:
 
 from __future__ import annotations
 
+import functools
 import logging
+import os
 import time
 from dataclasses import dataclass
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cosig_tpu.models.scene import SceneData
@@ -159,6 +162,61 @@ class Renderer:
         """Static path: render + synchronous device->host readback
         (RayTracer.cs:369-375). Returns [H, W, 3] f32 numpy, row 0 bottom."""
         return np.asarray(self.render_to_device(scene, settings))
+
+    def render_chunked(
+        self,
+        scene: SceneData,
+        settings: RenderSettings,
+        rows_per_chunk: int = 64,
+        checkpoint: Optional[str] = None,
+        progress=None,
+    ) -> np.ndarray:
+        """Resumable chunked render: row bands rendered one at a time with
+        an optional on-disk checkpoint (SURVEY.md section 5, checkpoint row
+        — the per-tile render loop makes mid-render resume natural, which
+        the reference's single-dispatch design cannot do).
+
+        Interrupt at any point; re-running with the same ``checkpoint``
+        path resumes after the last completed band. Uses the XLA path
+        (row-offset rendering)."""
+        arrays = self._arrays_for(scene)
+        params = frame_params(scene, settings)
+        cfg = static_config(scene, settings)
+        h, w = cfg.height, cfg.width
+
+        img = np.zeros((h, w, 3), np.float32)
+        done_rows = 0
+        if checkpoint and os.path.exists(checkpoint):
+            data = np.load(checkpoint)
+            if tuple(data["shape"]) == (h, w) and int(data["depth"]) == cfg.max_depth:
+                img = data["img"]
+                done_rows = int(data["done_rows"])
+                log.info("resuming chunked render at row %d/%d", done_rows, h)
+
+        render_rows = jax.jit(
+            functools.partial(trace_xla.render_image, cfg=cfg),
+            static_argnames=("rows",),
+        )
+        while done_rows < h:
+            rows = min(rows_per_chunk, h - done_rows)
+            band = render_rows(
+                arrays, params, row_offset=jnp.int32(done_rows), rows=rows
+            )
+            img[done_rows : done_rows + rows] = np.asarray(band)
+            done_rows += rows
+            if checkpoint:
+                np.savez(
+                    checkpoint,
+                    img=img,
+                    done_rows=done_rows,
+                    shape=(h, w),
+                    depth=cfg.max_depth,
+                )
+            if progress:
+                progress(done_rows / h)
+        if checkpoint and os.path.exists(checkpoint) and done_rows >= h:
+            os.remove(checkpoint)
+        return img
 
     def save_png(self, img, path: str) -> None:
         from cosig_tpu.utils.png import write_png

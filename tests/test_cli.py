@@ -75,3 +75,18 @@ def test_preset_commands(tmp_path, capsys):
     assert main(["preset", "load", path]) == 0
     out = capsys.readouterr().out
     assert "t1" in out
+
+
+def test_render_chunked_resume(tmp_path, scene_path):
+    out = str(tmp_path / "c.png")
+    ck = str(tmp_path / "ck.npz")
+    rc = main([
+        "render", scene_path, "-o", out, "--backend", "xla",
+        "--width", "24", "--height", "30", "--depth", "1",
+        "--chunk-rows", "8", "--checkpoint", ck,
+    ])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (30, 24, 3)
+    import os
+    assert not os.path.exists(ck)  # removed on completion
