@@ -60,6 +60,7 @@ U_INTENSITY = 18
 U_LIGHT_SIZE = 19
 U_ROUGHNESS = 20
 U_SHUTTER = 21
+U_ROW_OFF = 22  # global row offset of this shard's band (multi-chip)
 UNIFORMS_LEN = 24
 
 
@@ -86,7 +87,7 @@ def _ruv_planes(sx, sy, sz):
     return r * jnp.cos(a), r * jnp.sin(a), z
 
 
-def build_uniforms(params: FrameParams) -> jax.Array:
+def build_uniforms(params: FrameParams, row_offset=0.0) -> jax.Array:
     """Pack dynamic frame parameters into the SMEM uniforms vector."""
     m = params.cam_to_obj
     plane_h = (
@@ -104,7 +105,7 @@ def build_uniforms(params: FrameParams) -> jax.Array:
         params.light_size,
         params.surface_roughness,
         params.shutter_speed,
-        F(0.0), F(0.0),
+        row_offset, F(0.0),
     ]
     return jnp.stack([jnp.asarray(v, F) for v in vals])
 
@@ -138,7 +139,9 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
         pxi = bx * tile_w + lane % tile_w
         pyi = by * tile_h + lane // tile_w
         px = pxi.astype(F)
-        py = pyi.astype(F)
+        # Global pixel row: the shard's band offset (0 single-chip) keeps
+        # the projection plane, RNG seeds and ray directions global.
+        py = pyi.astype(F) + uniforms[U_ROW_OFF]
 
         # ---- camera / frame scalars --------------------------------------
         cam = [uniforms[U_CAM + i] for i in range(12)]
@@ -560,21 +563,28 @@ def render_clusters(
     cfg: StaticConfig,
     interpret: bool = False,
     tile: tuple = (TILE_H, TILE_W),
+    rows: int = None,
+    row_offset=0.0,
 ):
-    """Render via the megakernel -> (image [H, W, 3] f32 row-0-bottom,
-    rays_traced scalar f32). ``tile`` = (rows, cols) per packet; cols must
-    be a multiple-of-?? no — rows*cols should be a multiple of 128 lanes."""
+    """Render via the megakernel -> (image [rows, W, 3] f32 row-0-bottom,
+    rays_traced scalar f32).
+
+    ``tile`` = (rows, cols) pixels per packet (product should be a
+    multiple of 128 lanes). ``rows``/``row_offset`` restrict rendering to
+    a global row band (framebuffer sharding); the projection plane always
+    uses the global cfg dimensions."""
     tile_h, tile_w = tile
     R = tile_w * tile_h
     width, height = cfg.width, cfg.height
+    band = height if rows is None else rows
     nbx = -(-width // tile_w)
-    nby = -(-height // tile_h)
+    nby = -(-band // tile_h)
     n_tiles = nbx * nby
 
     C, K = cset.num_clusters, cset.k
     M = int(cset.mats.shape[0])
 
-    uniforms = build_uniforms(params)
+    uniforms = build_uniforms(params, jnp.asarray(row_offset, jnp.float32))
     lights = build_lights(params, cfg.multi_light)
     L = int(lights.shape[0])
 
@@ -612,8 +622,8 @@ def render_clusters(
         .transpose(1, 3, 2, 4, 0)
         .reshape(nby * tile_h, nbx * tile_w, 4)
     )
-    img = full[:height, :width, :3]
-    rays = jnp.sum(full[:height, :width, 3])
+    img = full[:band, :width, :3]
+    rays = jnp.sum(full[:band, :width, 3])
     return img, rays
 
 

@@ -47,7 +47,8 @@ def render_sharded(
     cfg: StaticConfig,
     mesh: Mesh,
 ):
-    """Render with the framebuffer sharded over ``mesh``'s first axis.
+    """Render with the framebuffer sharded over ``mesh``'s first axis
+    (XLA oracle path).
 
     Returns a global [H, W, 3] array (sharded across devices; convert with
     ``np.asarray`` to gather to host). Semantics identical to the
@@ -77,6 +78,46 @@ def render_sharded(
 
     img = shard_fn(scene, params, offsets)
     return img[: cfg.height]
+
+
+def render_sharded_pallas(
+    cset,
+    params: FrameParams,
+    cfg: StaticConfig,
+    mesh: Mesh,
+    interpret: bool = False,
+    tile: tuple = None,
+):
+    """Framebuffer-sharded render through the Pallas megakernel: each chip
+    runs the fused kernel over its row band (geometry replicated, zero
+    in-frame collectives). Returns (image [H, W, 3], total rays)."""
+    from cosig_tpu.ops import trace_pallas
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    tile = tile or (trace_pallas.TILE_H, trace_pallas.TILE_W)
+    # Band height: multiple of the tile rows so shards tile cleanly.
+    th = tile[0]
+    local_h = -(-cfg.height // (n * th)) * th
+    offsets = jnp.arange(n, dtype=jnp.float32) * local_h
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    def shard_fn(cset_rep, params_rep, offset):
+        img, rays = trace_pallas.render_clusters(
+            cset_rep, params_rep, cfg,
+            interpret=interpret, tile=tile,
+            rows=local_h, row_offset=offset[0],
+        )
+        return img, rays.reshape(1)
+
+    img, rays = shard_fn(cset, params, offsets)
+    return img[: cfg.height], jnp.sum(rays)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))

@@ -56,3 +56,26 @@ def test_sharded_with_effects(scene):
     # different order; tolerate ULP-scale drift (observed max ~3e-4 on the
     # pow-32 specular term).
     np.testing.assert_allclose(img, ref, atol=5e-4)
+
+
+def test_pallas_sharded_matches_oracle(scene):
+    from cosig_tpu.accel.clusters import build_clusters
+    from cosig_tpu.models.soa import materials_host
+    from cosig_tpu.parallel.sharding import render_sharded_pallas
+    from cosig_tpu.scene.tessellate import extract_triangles
+
+    st = cosig_tpu.RenderSettings(resolution_override=(48, 50), max_depth=2)
+    tris = extract_triangles(scene)
+    mats = np.concatenate(materials_host(scene), axis=1)
+    arrays = compile_scene(scene, tris)
+    cset = build_clusters(arrays, tris=tris, mats_host=mats)
+    params = frame_params(scene, st)
+    cfg = static_config(scene, st)
+    ref = np.asarray(trace_xla.render_jit(arrays, params, cfg))
+    img, rays = render_sharded_pallas(
+        cset, params, cfg, make_mesh(4), interpret=True
+    )
+    img = np.asarray(img)
+    assert img.shape == (50, 48, 3)
+    assert np.abs(img - ref).max() < 1e-4
+    assert float(rays) >= 48 * 50  # at least one primary ray per pixel
