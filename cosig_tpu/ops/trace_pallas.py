@@ -157,7 +157,7 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
         shutter = uniforms[U_SHUTTER]
 
         # ------------------------------------------------------------------
-        def traverse(ox, oy, oz, dx, dy, dz, active):
+        def traverse(ox, oy, oz, dx, dy, dz, active, max_t=None):
             """Packet cluster traversal -> (hit, t, nx, ny, nz, mat).
 
             Three stages, sized so the scalar unit never stalls the VPU on a
@@ -204,6 +204,12 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
                 jnp.maximum(t0z, t1z),
             )
             boxhit = (tn <= tf) & (tf >= F(0.0)) & (act > F(0.0))
+            if max_t is not None:
+                # Shadow rays: clusters entered beyond the light distance
+                # cannot contain a hit closer than the light (t >= tn), and
+                # `lit` treats miss and beyond-light hits identically —
+                # culling them is exact.
+                boxhit = boxhit & (tn <= max_t.reshape(R, 1))
             flag_vmem[:, :] = jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
 
             # ---- stage 2: flags -> SMEM, scalar compaction ----
@@ -427,7 +433,8 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
                             shy = hy + ny * OFFSET
                             shz = hz + nz * OFFSET
                             s_hit, s_t, *_ = traverse(
-                                shx, shy, shz, ldx, ldy, ldz, shadow_active
+                                shx, shy, shz, ldx, ldy, ldz, shadow_active,
+                                max_t=dist_l,
                             )
                             lit = (~s_hit) | (s_t > dist_l)
 
