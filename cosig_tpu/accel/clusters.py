@@ -16,8 +16,9 @@ layout, no relayouts):
   (1, R) to form (K, R) pair grids.
 * ``aabb_t [8, C_pad]`` f32 in VMEM — rows min.xyz / max.xyz, transposed and
   lane-padded to a multiple of 128 so the whole cluster-cull for a ray tile
-  is one vectorized (R, C_pad) slab test; padding columns have min > max and
-  never pass.
+  is one vectorized (R, C_pad) slab test; padding columns are NaN, which the
+  slab comparisons reject for every ray (an inverted min>max box would NOT
+  work: the min/max-normalizing slab test treats it as its mirror box).
 * ``mats [M, 8]`` f32 in SMEM — color rgb + ambient/diffuse/specular/
   refraction/ior.
 """
@@ -104,8 +105,7 @@ def build_clusters(
     t = tris.count
     if t == 0:
         geom = np.zeros((1, k, GEOM_COMPS), F32)
-        aabb_t = np.zeros((8, 128), F32)
-        aabb_t[0:3, :] = 1.0  # min > max: never hit
+        aabb_t = np.full((8, 128), np.nan, F32)  # NaN: never passes the slab test
         return ClusterSet(
             geom=jnp.asarray(geom),
             aabb_t=jnp.asarray(aabb_t),
@@ -131,9 +131,10 @@ def build_clusters(
     c = len(chunks)
     c_pad = -(-c // 128) * 128
     geom = np.zeros((c, k, GEOM_COMPS), F32)
-    aabb_t = np.zeros((8, c_pad), F32)
-    aabb_t[0:3, :] = 1.0  # padding columns: min > max -> never hit
-    aabb_t[3:6, :] = -1.0
+    # Padding columns are NaN -> slab comparisons are all False -> never
+    # hit, for every ray. (Defense in depth: the compaction loop also stops
+    # at the real cluster count C.)
+    aabb_t = np.full((8, c_pad), np.nan, F32)
     rt = bvh.triangles
     for ci, (first, count, node) in enumerate(chunks):
         sl = slice(first, first + count)

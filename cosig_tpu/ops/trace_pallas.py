@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams, StaticConfig
-from cosig_tpu.ops import rng
+from cosig_tpu.ops import camera, rng
 
 F = np.float32
 
@@ -124,7 +124,7 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
 
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
-    grid_w, grid_h = _aa_grid(aa)
+    grid_w, grid_h = camera.aa_grid(aa)
     R = tile_w * tile_h
 
     def kernel(
@@ -559,11 +559,6 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
     return kernel
 
 
-def _aa_grid(n: int) -> Tuple[int, int]:
-    gw = math.ceil(math.sqrt(n))
-    return gw, math.ceil(n / gw)
-
-
 def render_clusters(
     cset: cl.ClusterSet,
     params: FrameParams,
@@ -648,9 +643,17 @@ def render_chain(cset, params, cfg: StaticConfig, k: int, interpret: bool = Fals
     and variable: timing two chain lengths and taking the slope isolates
     pure device time per frame. Returns (last image, total rays)."""
 
+    import dataclasses
+
     def body(carry, _):
-        img, rays = render_clusters(cset, params, cfg, interpret)
-        return (img, carry[1] + rays), None
+        prev_img, acc = carry
+        # Carry-dependent zero prevents loop-invariant hoisting of the
+        # render out of the scan.
+        p2 = dataclasses.replace(
+            params, light_intensity=params.light_intensity + prev_img[0, 0, 0] * 0.0
+        )
+        img, rays = render_clusters(cset, p2, cfg, interpret)
+        return (img, acc + rays), None
 
     img0, rays0 = render_clusters(cset, params, cfg, interpret)
     (img, total_rays), _ = jax.lax.scan(

@@ -96,14 +96,14 @@ class Renderer:
             from cosig_tpu.render import pallas_backend  # noqa: F401
         except ImportError:
             return "xla"
-        return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        # Mosaic kernels are TPU-only; anything else uses the XLA path.
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
     # ------------------------------------------------------------------
 
     def render_to_device(self, scene: SceneData, settings: RenderSettings):
         """Realtime path: returns the device framebuffer [H, W, 3] f32
         (row 0 = bottom) with no host readback."""
-        arrays = self._arrays_for(scene)
         params = frame_params(scene, settings)
         cfg = static_config(scene, settings)
         backend = self._resolve_backend()
@@ -111,7 +111,9 @@ class Renderer:
         t0 = time.perf_counter()
         rays = None
         if settings.analytic_primitives:
-            # Analytic sphere/box mode (XLA path; ops/analytic.py).
+            # Analytic sphere/box mode (XLA path; ops/analytic.py). Skips
+            # the tessellated compile entirely — tessellating the spheres
+            # is exactly the cost this mode avoids.
             from cosig_tpu.ops.analytic import compile_analytic
             from cosig_tpu.models.soa import compile_scene as _compile
             from cosig_tpu.scene.tessellate import extract_triangles
@@ -122,10 +124,11 @@ class Renderer:
                 self._analytic_arrays = _compile(scene, mesh_tris)
                 self._analytic_prims = compile_analytic(scene)
                 self._analytic_key = key
+            arrays = self._analytic_arrays
             img = trace_xla.render_jit_analytic(
                 self._analytic_arrays, self._analytic_prims, params, cfg
             )
-        elif backend == "pallas" and cfg.debug_mode == 0:
+        elif (arrays := self._arrays_for(scene)) is not None and backend == "pallas" and cfg.debug_mode == 0:
             from cosig_tpu.render import pallas_backend
 
             img, rays = pallas_backend.render_jit(
@@ -205,13 +208,16 @@ class Renderer:
             img[done_rows : done_rows + rows] = np.asarray(band)
             done_rows += rows
             if checkpoint:
-                np.savez(
-                    checkpoint,
-                    img=img,
-                    done_rows=done_rows,
-                    shape=(h, w),
-                    depth=cfg.max_depth,
-                )
+                # Write through a file handle: np.savez(path) appends
+                # ".npz" to bare paths, which would break resume lookup.
+                with open(checkpoint, "wb") as f:
+                    np.savez(
+                        f,
+                        img=img,
+                        done_rows=done_rows,
+                        shape=(h, w),
+                        depth=cfg.max_depth,
+                    )
             if progress:
                 progress(done_rows / h)
         if checkpoint and os.path.exists(checkpoint) and done_rows >= h:

@@ -79,10 +79,12 @@ def test_clusters_cover_all_triangles():
         pts = np.concatenate([v0, v1, v2])
         assert (pts >= aabb[0:3, c] - 1e-4).all()
         assert (pts <= aabb[3:6, c] + 1e-4).all()
-    # Padded AABB columns never pass the slab test (min > max).
+    # Padded AABB columns are NaN: the slab comparisons reject them for
+    # every ray (an inverted box would NOT be rejected by the
+    # min/max-normalizing slab test).
     c_pad = aabb.shape[1]
     for c in range(cs.num_clusters, c_pad):
-        assert (aabb[0:3, c] > aabb[3:6, c]).all()
+        assert np.isnan(aabb[0:6, c]).all()
 
 
 def test_clusters_empty_scene():
@@ -90,4 +92,4 @@ def test_clusters_empty_scene():
     arrays = compile_scene(s)
     cs = build_clusters(arrays)
     assert cs.num_triangles == 0
-    assert np.asarray(cs.aabb_t)[0, 0] > np.asarray(cs.aabb_t)[3, 0]
+    assert np.isnan(np.asarray(cs.aabb_t)).all()
