@@ -117,6 +117,20 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
         rays = float(estimate_rays(cfg))
     best = per_frame
     mrays = rays / best / 1e6
+
+    # Accuracy gate (BASELINE: <=1e-3 RMSE): pallas vs the XLA oracle at a
+    # reduced resolution (full-res brute force would dwarf the bench).
+    rmse = None
+    if backend == "pallas":
+        import dataclasses
+
+        scale = max(1, max(cfg.width, cfg.height) // 256)
+        small = dataclasses.replace(
+            cfg, width=cfg.width // scale, height=cfg.height // scale
+        )
+        ref = np.asarray(trace_xla.render_jit(arrays, params, small))
+        got, _ = trace_pallas.render_jit(cset, params, small, interpret=interpret)
+        rmse = float(np.sqrt(((np.asarray(got) - ref) ** 2).mean()))
     result = {
         "config": name,
         "frames_timed": n_frames,
@@ -130,6 +144,7 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
         "rays_traced": rays,
         "mrays_per_s": mrays,
         "compile_s": compile_s,
+        "rmse_vs_oracle": rmse,
         "image_mean": float(np.asarray(img).mean()),
     }
     if not quiet:

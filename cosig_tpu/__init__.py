@@ -30,9 +30,19 @@ from cosig_tpu.models.scene import SceneData
 from cosig_tpu.models.settings import RenderSettings
 from cosig_tpu.scene.parser import load_scene, parse_scene
 
+
+def Renderer(*args, **kwargs):
+    """Lazy alias for :class:`cosig_tpu.render.renderer.Renderer` (keeps
+    ``import cosig_tpu`` light — no jax import until first use)."""
+    from cosig_tpu.render.renderer import Renderer as _R
+
+    return _R(*args, **kwargs)
+
+
 __all__ = [
     "SceneData",
     "RenderSettings",
+    "Renderer",
     "load_scene",
     "parse_scene",
     "__version__",

@@ -205,3 +205,16 @@ def test_reference_scene_renders(renderer, reference_scene_dir, name):
     assert img.std() > 0.05  # non-degenerate content
     # Corners are background (nothing in the extreme corners of these scenes).
     np.testing.assert_allclose(img[0, 0], s.image.background, atol=1e-5)
+
+
+def test_huge_scene_falls_back_to_xla(renderer, monkeypatch):
+    """Scenes whose clustered geometry exceeds the VMEM budget must route
+    to the XLA path instead of failing Mosaic compilation."""
+    from cosig_tpu.render.renderer import Renderer
+
+    r = Renderer(backend="pallas")
+    monkeypatch.setattr(Renderer, "PALLAS_GEOM_BUDGET_BYTES", 1)  # force fallback
+    mats = [MaterialDescription(color=(1, 0, 0), ambient=0.5)]
+    s = make_scene(mats, BIG_TRI)
+    img = r.render(s, RenderSettings(max_depth=1, enable_diffuse=False))
+    np.testing.assert_allclose(center_px(img), (0.5, 0.0, 0.0), atol=1e-5)
