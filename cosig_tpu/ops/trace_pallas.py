@@ -50,6 +50,9 @@ INF = F(3.402823466e38)
 EPSILON = F(1e-4)
 OFFSET = F(1e-2)
 
+# Auto-stream geometry through HBM above this clustered-geometry size.
+STREAM_THRESHOLD_BYTES = 6 * 1024 * 1024
+
 # uniforms layout (SMEM [UNIFORMS_LEN] f32)
 U_CAM = 0  # 12 floats: rows of the 3x4 camera->object matrix
 U_DIST = 12
@@ -119,7 +122,7 @@ def build_lights(params: FrameParams, multi_light: bool) -> jax.Array:
 
 
 def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
-                 tile_w: int, tile_h: int):
+                 tile_w: int, tile_h: int, stream: bool):
     """Build the megakernel body (all static config closed over)."""
 
     width, height = cfg.width, cfg.height
@@ -130,6 +133,7 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
     def kernel(
         uniforms, mats, lights, aabb_t, geom,
         out_ref, best_ref, state, flag_vmem, flags_smem, list_smem, sem,
+        gbuf, gsem,
     ):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -229,9 +233,32 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
             n_hit = jax.lax.fori_loop(0, C, compact, 0)
 
             # ---- stage 3: intersect only the hit clusters ----
+            if stream:
+                # Geometry lives in HBM; double-buffer each visited
+                # cluster's (K, GEOM_COMPS) block through VMEM so the DMA
+                # for cluster i+1 overlaps the intersection of cluster i
+                # (geometry-domain blocking, SURVEY.md section 5).
+                def _gdma(i, slot):
+                    return pltpu.make_async_copy(
+                        geom.at[list_smem[0, i]], gbuf.at[slot], gsem.at[slot]
+                    )
+
+                @pl.when(n_hit > 0)
+                def _():
+                    _gdma(0, 0).start()
+
             def visit(i, _):
-                c = list_smem[0, i]
-                g = geom[c]  # (K, GEOM_COMPS)
+                if stream:
+                    slot = jax.lax.rem(i, 2)
+
+                    @pl.when(i + 1 < n_hit)
+                    def _():
+                        _gdma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+                    _gdma(i, slot).wait()
+                    g = gbuf[slot]  # (K, GEOM_COMPS)
+                else:
+                    g = geom[list_smem[0, i]]  # (K, GEOM_COMPS)
                 v0x, v0y, v0z = g[:, 0:1], g[:, 1:2], g[:, 2:3]
                 e1x, e1y, e1z = g[:, 3:4], g[:, 4:5], g[:, 5:6]
                 e2x, e2y, e2z = g[:, 6:7], g[:, 7:8], g[:, 8:9]
@@ -567,6 +594,7 @@ def render_clusters(
     tile: tuple = (TILE_H, TILE_W),
     rows: int = None,
     row_offset=0.0,
+    stream: bool = None,
 ):
     """Render via the megakernel -> (image [rows, W, 3] f32 row-0-bottom,
     rays_traced scalar f32).
@@ -574,7 +602,11 @@ def render_clusters(
     ``tile`` = (rows, cols) pixels per packet (product should be a
     multiple of 128 lanes). ``rows``/``row_offset`` restrict rendering to
     a global row band (framebuffer sharding); the projection plane always
-    uses the global cfg dimensions."""
+    uses the global cfg dimensions.
+
+    ``stream``: keep geometry in HBM and double-buffer visited clusters
+    through VMEM (for scenes beyond the VMEM budget); default: auto by
+    geometry size."""
     tile_h, tile_w = tile
     R = tile_w * tile_h
     width, height = cfg.width, cfg.height
@@ -590,7 +622,18 @@ def render_clusters(
     lights = build_lights(params, cfg.multi_light)
     L = int(lights.shape[0])
 
-    kernel = _make_kernel(cfg, C, K, M, L, nbx, tile_w, tile_h)
+    if stream is None:
+        stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
+    kernel = _make_kernel(cfg, C, K, M, L, nbx, tile_w, tile_h, stream)
+    geom_in = cset.geom
+    if stream:
+        # HBM slices DMA'd per cluster must have a 128-aligned last dim;
+        # pad the component axis (GEOM_COMPS=19 -> 128). HBM-only cost
+        # (~6.7x on the geometry bytes); the per-cluster DMA grows by the
+        # same factor but stays tiny (16 KB -> ~20 ns at HBM bandwidth).
+        geom_in = jnp.pad(
+            cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS))
+        )
 
     C_pad = int(cset.aabb_t.shape[1])
     out = pl.pallas_call(
@@ -602,6 +645,8 @@ def render_clusters(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
             pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
+                memory_space=pltpu.HBM
+            ) if stream else pl.BlockSpec(
                 (C, K, cl.GEOM_COMPS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
@@ -614,9 +659,11 @@ def render_clusters(
             pltpu.SMEM((1, C_pad), jnp.int32),    # cluster flags (scalar)
             pltpu.SMEM((1, C_pad), jnp.int32),    # compacted hit list
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),  # stream buffers
+            pltpu.SemaphoreType.DMA((2,)),        # stream semaphores
         ],
         interpret=interpret,
-    )(uniforms, cset.mats, lights, cset.aabb_t, cset.geom)
+    )(uniforms, cset.mats, lights, cset.aabb_t, geom_in)
 
     # Un-tile: [4, nby, nbx, tile_h, tile_w] -> [H, W, 4]; rgb + ray count.
     full = (

@@ -132,7 +132,6 @@ class Renderer:
             (arrays := self._arrays_for(scene)) is not None
             and backend == "pallas"
             and cfg.debug_mode == 0
-            and self._accel_fits_vmem(arrays)
         ):
             from cosig_tpu.render import pallas_backend
 
@@ -152,22 +151,6 @@ class Renderer:
             rays_traced=int(rays) if rays is not None else estimate_rays(cfg),
         )
         return img
-
-    # The megakernel keeps all geometry VMEM-resident; beyond this budget
-    # (v5e VMEM is ~16 MB shared with working buffers) fall back to the
-    # XLA path. Geometry streaming through HBM is the planned lift.
-    PALLAS_GEOM_BUDGET_BYTES = 8 * 1024 * 1024
-
-    def _accel_fits_vmem(self, arrays: SceneArrays) -> bool:
-        cset = self._accel_for(arrays)
-        fits = int(cset.geom.size) * 4 <= self.PALLAS_GEOM_BUDGET_BYTES
-        if not fits:
-            log.warning(
-                "scene geometry (%.1f MB clustered) exceeds the megakernel "
-                "VMEM budget; using the XLA path",
-                cset.geom.size * 4 / 2**20,
-            )
-        return fits
 
     def _accel_for(self, arrays: SceneArrays):
         if self._cached_accel is None:

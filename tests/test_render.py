@@ -207,13 +207,14 @@ def test_reference_scene_renders(renderer, reference_scene_dir, name):
     np.testing.assert_allclose(img[0, 0], s.image.background, atol=1e-5)
 
 
-def test_huge_scene_falls_back_to_xla(renderer, monkeypatch):
-    """Scenes whose clustered geometry exceeds the VMEM budget must route
-    to the XLA path instead of failing Mosaic compilation."""
+def test_huge_scene_streams_geometry(renderer, monkeypatch):
+    """Scenes whose clustered geometry exceeds the VMEM budget stream it
+    from HBM (double-buffered per-cluster DMA) on the Pallas path."""
+    from cosig_tpu.ops import trace_pallas
     from cosig_tpu.render.renderer import Renderer
 
+    monkeypatch.setattr(trace_pallas, "STREAM_THRESHOLD_BYTES", 1)  # force streaming
     r = Renderer(backend="pallas")
-    monkeypatch.setattr(Renderer, "PALLAS_GEOM_BUDGET_BYTES", 1)  # force fallback
     mats = [MaterialDescription(color=(1, 0, 0), ambient=0.5)]
     s = make_scene(mats, BIG_TRI)
     img = r.render(s, RenderSettings(max_depth=1, enable_diffuse=False))
