@@ -53,6 +53,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="analytic sphere/box intersection instead of tessellation")
     p.add_argument("--debug-mode", type=int, default=0, choices=[0, 1, 2, 3])
     p.add_argument("--preset", help="load settings from a preset JSON first")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the render into DIR")
 
 
 def _load_scene_arg(arg: str):
@@ -126,21 +128,33 @@ def cmd_render(args) -> int:
     from cosig_tpu.render.renderer import Renderer
     from cosig_tpu.utils.png import write_png
 
+    import contextlib
+
     scene, base = _load_scene_arg(args.scene)
     settings = _settings_from_args(args, base)
     renderer = Renderer(backend=args.backend)
 
-    t0 = time.perf_counter()
-    if getattr(args, "chunk_rows", None):
-        img = renderer.render_chunked(
-            scene, settings, rows_per_chunk=args.chunk_rows,
-            checkpoint=args.checkpoint,
-            progress=lambda f: print(f"\rchunks: {f*100:.0f}%", end="", flush=True),
-        )
-        print()
+    if getattr(args, "profile", None):
+        import jax
+
+        tracer = jax.profiler.trace(args.profile)
     else:
-        img = renderer.render(scene, settings)
+        tracer = contextlib.nullcontext()
+
+    t0 = time.perf_counter()
+    with tracer:
+        if getattr(args, "chunk_rows", None):
+            img = renderer.render_chunked(
+                scene, settings, rows_per_chunk=args.chunk_rows,
+                checkpoint=args.checkpoint,
+                progress=lambda f: print(f"\rchunks: {f*100:.0f}%", end="", flush=True),
+            )
+            print()
+        else:
+            img = renderer.render(scene, settings)
     dt = time.perf_counter() - t0
+    if getattr(args, "profile", None):
+        print(f"profiler trace -> {args.profile}")
     write_png(args.output, img)
     st = renderer.last_stats
     print(
