@@ -129,9 +129,24 @@ def trs_euler(pos: Sequence[float], euler_deg: Sequence[float]) -> np.ndarray:
     return m.astype(F32)
 
 
+import logging
+
+_log = logging.getLogger("cosig_tpu.scene")
+
+
 def inverse(m: np.ndarray) -> np.ndarray:
-    """fp32 matrix inverse (Unity Matrix4x4.inverse is fp32)."""
-    return np.linalg.inv(m.astype(np.float64)).astype(F32)
+    """fp32 matrix inverse (Unity Matrix4x4.inverse is fp32).
+
+    Singular matrices (e.g. a zero scale in the scene file) degrade to the
+    identity with a logged warning — the same graceful-degradation stance
+    the reference takes for structural errors (Unity's Matrix4x4.inverse
+    silently returns garbage for singular inputs; identity is the safer
+    equivalent)."""
+    try:
+        return np.linalg.inv(m.astype(np.float64)).astype(F32)
+    except np.linalg.LinAlgError:
+        _log.warning("singular transformation matrix; using identity inverse")
+        return identity()
 
 
 def normal_matrix(m: np.ndarray) -> np.ndarray:

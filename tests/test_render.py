@@ -219,3 +219,18 @@ def test_huge_scene_streams_geometry(renderer, monkeypatch):
     s = make_scene(mats, BIG_TRI)
     img = r.render(s, RenderSettings(max_depth=1, enable_diffuse=False))
     np.testing.assert_allclose(center_px(img), (0.5, 0.0, 0.0), atol=1e-5)
+
+
+def test_zero_scale_camera_transform_renders(renderer):
+    """A singular camera transformation renders (identity fallback)
+    instead of crashing."""
+    import cosig_tpu
+
+    s = cosig_tpu.parse_scene(
+        "Image\n{\n8 8\n0.1 0.2 0.3\n}\n"
+        "Transformation\n{\nS 0 0 0\n}\n"
+        "Camera\n{\n0\n10\n60\n}\n"
+    )
+    img = renderer.render(s, RenderSettings(max_depth=1))
+    assert img.shape == (8, 8, 3)
+    assert np.isfinite(img).all()

@@ -89,3 +89,10 @@ def test_out_of_range_index_gives_identity():
 def test_matrices_are_float32():
     assert tf.rotate_x(12.3).dtype == np.float32
     assert tf.trs_euler((1, 2, 3), (4, 5, 6)).dtype == np.float32
+
+
+def test_singular_matrix_degrades_to_identity():
+    # Zero scale in a scene file must not crash rendering (graceful
+    # degradation, matching the reference's error philosophy).
+    m = tf.scale((0, 0, 0))
+    np.testing.assert_array_equal(tf.inverse(m), np.eye(4, dtype=np.float32))
