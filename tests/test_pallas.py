@@ -98,3 +98,20 @@ def test_cluster_size_invariance(scene1):
     img64, _, _ = render_both(scene1, st, k=64)
     # Different cluster partitions must not change the image.
     np.testing.assert_allclose(img16, img64, atol=1e-5)
+
+
+def test_render_chain_matches_single(scene1):
+    """bench.py's k-frame scan chain must produce the same image as a
+    single render and sum rays across frames."""
+    from cosig_tpu.accel.clusters import build_clusters
+    from cosig_tpu.models.soa import compile_scene, frame_params, static_config
+
+    st = cosig_tpu.RenderSettings(resolution_override=(32, 32), max_depth=2)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    img1, rays1 = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    imgk, raysk = trace_pallas.render_chain(cs, params, cfg, k=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(imgk), np.asarray(img1))
+    assert float(raysk) == pytest.approx(3 * float(rays1))
