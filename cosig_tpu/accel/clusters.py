@@ -45,11 +45,16 @@ GEOM_COMPS = 19
 DEFAULT_K = 32
 
 
+CULL_BLOCK = 512  # clusters per cull block (lane-aligned; see trace_pallas)
+MAX_SUPERBLOCKS = 128  # sb_aabb_t lane width -> up to 64k clusters
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class ClusterSet:
     geom: jax.Array  # [C, K, GEOM_COMPS] f32
     aabb_t: jax.Array  # [8, C_pad] f32: rows minx,miny,minz,maxx,maxy,maxz
+    sb_aabb_t: jax.Array  # [8, 128] f32: superblock (CULL_BLOCK clusters) unions
     mats: jax.Array  # [M, 8] f32
     num_triangles: int  # real (unpadded) triangle count
 
@@ -62,11 +67,32 @@ class ClusterSet:
         return int(self.geom.shape[1])
 
     def tree_flatten(self):
-        return (self.geom, self.aabb_t, self.mats), (self.num_triangles,)
+        return (
+            (self.geom, self.aabb_t, self.sb_aabb_t, self.mats),
+            (self.num_triangles,),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, aux[0])
+
+
+def _superblock_aabbs(aabb_t: np.ndarray) -> np.ndarray:
+    """Union AABBs of CULL_BLOCK-cluster superblocks -> [8, 128] (NaN pad).
+
+    Lets the kernel's blocked cull skip whole 512-cluster blocks with one
+    test when the scene is large (hierarchical culling)."""
+    c_pad = aabb_t.shape[1]
+    n_sb = -(-c_pad // CULL_BLOCK)
+    sb = np.full((8, MAX_SUPERBLOCKS), np.nan, F32)
+    with np.errstate(all="ignore"):
+        for s in range(min(n_sb, MAX_SUPERBLOCKS)):
+            blk = aabb_t[:, s * CULL_BLOCK : (s + 1) * CULL_BLOCK]
+            if np.isnan(blk).all():
+                continue
+            sb[0:3, s] = np.nanmin(blk[0:3], axis=1)
+            sb[3:6, s] = np.nanmax(blk[3:6], axis=1)
+    return sb
 
 
 def _pack_materials(arrays: SceneArrays, mats_host: np.ndarray | None) -> np.ndarray:
@@ -109,6 +135,7 @@ def build_clusters(
         return ClusterSet(
             geom=jnp.asarray(geom),
             aabb_t=jnp.asarray(aabb_t),
+            sb_aabb_t=jnp.asarray(_superblock_aabbs(aabb_t)),
             mats=jnp.asarray(_pack_materials(arrays, mats_host)),
             num_triangles=0,
         )
@@ -129,7 +156,11 @@ def build_clusters(
             chunks.append((first + off, min(k, count - off), node))
 
     c = len(chunks)
+    # Lane-pad; large cluster counts pad to whole cull blocks so the
+    # kernel's blocked cull uses equal-sized slices.
     c_pad = -(-c // 128) * 128
+    if c_pad > CULL_BLOCK:
+        c_pad = -(-c // CULL_BLOCK) * CULL_BLOCK
     geom = np.zeros((c, k, GEOM_COMPS), F32)
     # Padding columns are NaN -> slab comparisons are all False -> never
     # hit, for every ray. (Defense in depth: the compaction loop also stops
@@ -153,6 +184,7 @@ def build_clusters(
     return ClusterSet(
         geom=jnp.asarray(geom),
         aabb_t=jnp.asarray(aabb_t),
+        sb_aabb_t=jnp.asarray(_superblock_aabbs(aabb_t)),
         mats=jnp.asarray(_pack_materials(arrays, mats_host)),
         num_triangles=t,
     )

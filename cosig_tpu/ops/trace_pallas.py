@@ -121,7 +121,7 @@ def build_lights(params: FrameParams, multi_light: bool) -> jax.Array:
     return jnp.concatenate([pos, rgb, pad], axis=1)
 
 
-def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
+def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, nbx: int,
                  tile_w: int, tile_h: int, stream: bool):
     """Build the megakernel body (all static config closed over)."""
 
@@ -129,11 +129,13 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
     aa = max(1, cfg.aa_samples)
     grid_w, grid_h = camera.aa_grid(aa)
     R = tile_w * tile_h
+    GB = cl.CULL_BLOCK
+    n_blocks = max(1, C_pad // GB)
 
     def kernel(
-        uniforms, mats, lights, aabb_t, geom,
+        uniforms, mats, lights, aabb_t, sb_aabb_t, geom,
         out_ref, best_ref, state, flag_vmem, flags_smem, list_smem, sem,
-        gbuf, gsem,
+        gbuf, gsem, sbflag_vmem, sb_smem,
     ):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -185,7 +187,7 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
             idz = F(1.0) / dz
             rowid = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
 
-            # ---- stage 1: vectorized cull over all clusters ----
+            # ---- stage 1: vectorized cull ----
             oxc = ox.reshape(R, 1)
             oyc = oy.reshape(R, 1)
             ozc = oz.reshape(R, 1)
@@ -193,44 +195,108 @@ def _make_kernel(cfg: StaticConfig, C: int, K: int, M: int, L: int, nbx: int,
             idyc = idy.reshape(R, 1)
             idzc = idz.reshape(R, 1)
             act = active.astype(F).reshape(R, 1)
-            t0x = (aabb_t[0:1, :] - oxc) * idxc
-            t1x = (aabb_t[3:4, :] - oxc) * idxc
-            t0y = (aabb_t[1:2, :] - oyc) * idyc
-            t1y = (aabb_t[4:5, :] - oyc) * idyc
-            t0z = (aabb_t[2:3, :] - ozc) * idzc
-            t1z = (aabb_t[5:6, :] - ozc) * idzc
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z),
-            )
-            boxhit = (tn <= tf) & (tf >= F(0.0)) & (act > F(0.0))
-            if max_t is not None:
-                # Shadow rays: clusters entered beyond the light distance
-                # cannot contain a hit closer than the light (t >= tn), and
-                # `lit` treats miss and beyond-light hits identically —
-                # culling them is exact.
-                boxhit = boxhit & (tn <= max_t.reshape(R, 1))
-            flag_vmem[:, :] = jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
+            mt_col = None if max_t is None else max_t.reshape(R, 1)
 
-            # ---- stage 2: flags -> SMEM, scalar compaction ----
-            copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
-            copy.start()
-            copy.wait()
+            def cull(b0, b1, b2, b3, b4, b5):
+                """Slab test of the tile's rays vs a row of boxes -> flags
+                (1, W) i32. Inputs are the six AABB component rows."""
+                t0x = (b0 - oxc) * idxc
+                t1x = (b3 - oxc) * idxc
+                t0y = (b1 - oyc) * idyc
+                t1y = (b4 - oyc) * idyc
+                t0z = (b2 - ozc) * idzc
+                t1z = (b5 - ozc) * idzc
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                boxhit = (tn <= tf) & (tf >= F(0.0)) & (act > F(0.0))
+                if mt_col is not None:
+                    # Shadow rays: boxes entered beyond the light distance
+                    # cannot contain a hit closer than the light (t >= tn);
+                    # `lit` treats miss and beyond-light hits identically.
+                    boxhit = boxhit & (tn <= mt_col)
+                return jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
 
-            def compact(c, n):
-                f = flags_smem[0, c]
+            if n_blocks == 1:
+                flag_vmem[:, :] = cull(
+                    aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
+                    aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
+                )
+                copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
+                copy.start()
+                copy.wait()
 
-                @pl.when(f > 0)
-                def _():
-                    list_smem[0, n] = c
+                def compact(c, n):
+                    f = flags_smem[0, c]
 
-                return n + jnp.where(f > 0, 1, 0)
+                    @pl.when(f > 0)
+                    def _():
+                        list_smem[0, n] = c
 
-            n_hit = jax.lax.fori_loop(0, C, compact, 0)
+                    return n + jnp.where(f > 0, 1, 0)
+
+                n_hit = jax.lax.fori_loop(0, C, compact, 0)
+            else:
+                # Hierarchical cull for large scenes: the (R, C_pad) slab
+                # test would blow VMEM, so test CULL_BLOCK-cluster
+                # superblock unions first and only cull (and later compact)
+                # the blocks some ray may enter.
+                sbflag_vmem[:, :] = cull(
+                    sb_aabb_t[0:1, :], sb_aabb_t[1:2, :], sb_aabb_t[2:3, :],
+                    sb_aabb_t[3:4, :], sb_aabb_t[4:5, :], sb_aabb_t[5:6, :],
+                )
+                sb_copy = pltpu.make_async_copy(sbflag_vmem, sb_smem, sem)
+                sb_copy.start()
+                sb_copy.wait()
+
+                flag_vmem[:, :] = jnp.zeros((1, C_pad), jnp.int32)
+
+                def blk(b, _):
+                    @pl.when(sb_smem[0, b] > 0)
+                    def _():
+                        off = b * GB
+                        flag_vmem[:, pl.ds(off, GB)] = cull(
+                            aabb_t[0:1, pl.ds(off, GB)],
+                            aabb_t[1:2, pl.ds(off, GB)],
+                            aabb_t[2:3, pl.ds(off, GB)],
+                            aabb_t[3:4, pl.ds(off, GB)],
+                            aabb_t[4:5, pl.ds(off, GB)],
+                            aabb_t[5:6, pl.ds(off, GB)],
+                        )
+
+                    return 0
+
+                jax.lax.fori_loop(0, n_blocks, blk, 0)
+
+                copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
+                copy.start()
+                copy.wait()
+
+                def sb_compact(s, n):
+                    hi = jnp.minimum((s + 1) * GB, C)
+
+                    def inner(c, n2):
+                        fc = flags_smem[0, c]
+
+                        @pl.when(fc > 0)
+                        def _():
+                            list_smem[0, n2] = c
+
+                        return n2 + jnp.where(fc > 0, 1, 0)
+
+                    return jax.lax.cond(
+                        sb_smem[0, s] > 0,
+                        lambda nn: jax.lax.fori_loop(s * GB, hi, inner, nn),
+                        lambda nn: nn,
+                        n,
+                    )
+
+                n_hit = jax.lax.fori_loop(0, n_blocks, sb_compact, 0)
 
             # ---- stage 3: intersect only the hit clusters ----
             if stream:
@@ -616,6 +682,7 @@ def render_clusters(
     n_tiles = nbx * nby
 
     C, K = cset.num_clusters, cset.k
+    C_pad = int(cset.aabb_t.shape[1])
     M = int(cset.mats.shape[0])
 
     uniforms = build_uniforms(params, jnp.asarray(row_offset, jnp.float32))
@@ -624,7 +691,7 @@ def render_clusters(
 
     if stream is None:
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
-    kernel = _make_kernel(cfg, C, K, M, L, nbx, tile_w, tile_h, stream)
+    kernel = _make_kernel(cfg, C, C_pad, K, M, L, nbx, tile_w, tile_h, stream)
     geom_in = cset.geom
     if stream:
         # HBM slices DMA'd per cluster must have a 128-aligned last dim;
@@ -635,7 +702,6 @@ def render_clusters(
             cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS))
         )
 
-    C_pad = int(cset.aabb_t.shape[1])
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -644,6 +710,7 @@ def render_clusters(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mats
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
             pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 memory_space=pltpu.HBM
             ) if stream else pl.BlockSpec(
@@ -661,9 +728,11 @@ def render_clusters(
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),  # stream buffers
             pltpu.SemaphoreType.DMA((2,)),        # stream semaphores
+            pltpu.VMEM((1, 128), jnp.int32),      # superblock flags (vector)
+            pltpu.SMEM((1, 128), jnp.int32),      # superblock flags (scalar)
         ],
         interpret=interpret,
-    )(uniforms, cset.mats, lights, cset.aabb_t, geom_in)
+    )(uniforms, cset.mats, lights, cset.aabb_t, cset.sb_aabb_t, geom_in)
 
     # Un-tile: [4, nby, nbx, tile_h, tile_w] -> [H, W, 4]; rgb + ray count.
     full = (

@@ -115,3 +115,29 @@ def test_render_chain_matches_single(scene1):
     imgk, raysk = trace_pallas.render_chain(cs, params, cfg, k=3, interpret=True)
     np.testing.assert_array_equal(np.asarray(imgk), np.asarray(img1))
     assert float(raysk) == pytest.approx(3 * float(rays1))
+
+
+def test_hierarchical_cull_multiblock(scene1, monkeypatch):
+    """Forcing small cull blocks exercises the superblock pre-cull +
+    block-scoped compaction path; output must be unchanged."""
+    from cosig_tpu.accel import clusters as cl
+    from cosig_tpu.accel.clusters import build_clusters
+    from cosig_tpu.models.soa import compile_scene, frame_params, static_config
+
+    st = cosig_tpu.RenderSettings(resolution_override=(48, 32), max_depth=3)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    ref = np.asarray(trace_xla.render_jit(arrays, params, cfg))
+
+    monkeypatch.setattr(cl, "CULL_BLOCK", 128)
+    cs = build_clusters(arrays, k=8)
+    assert int(cs.aabb_t.shape[1]) > 128  # multi-block
+    img, _ = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    assert np.abs(np.asarray(img) - ref).max() < 1e-4
+
+    # combined with geometry streaming
+    img2, _ = trace_pallas.render_clusters(
+        cs, params, cfg, interpret=True, stream=True
+    )
+    np.testing.assert_array_equal(np.asarray(img2), np.asarray(img))
