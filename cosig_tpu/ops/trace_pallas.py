@@ -2,10 +2,12 @@
 
 The TPU-native rewrite of the reference's single compute kernel
 (``Assets/Shaders/BVHRayTracing.compute:273-511``): one ``pallas_call``
-renders the frame; each grid step owns a 16x16 pixel tile (R = 256 rays)
-and runs ray-gen -> packet cluster traversal -> shading -> shadow
-traversal -> secondary rays for every bounce and AA sample, with all
-geometry resident in VMEM.
+renders the frame; each grid step owns a pixel tile (default 16x16 =
+256 rays) and runs ray-gen -> packet cluster traversal -> shading ->
+shadow traversal -> secondary rays for every bounce and AA sample.
+Geometry is VMEM-resident for small scenes, HBM-streamed (double-buffered
+per-cluster DMA) for large ones; culling is hierarchical (superblock
+pre-cull) once the cluster count exceeds one cull block.
 
 Data-layout contract (see :mod:`cosig_tpu.accel.clusters`):
 
@@ -25,8 +27,6 @@ Shading semantics are the same quirk-preserving rules as
 from __future__ import annotations
 
 import functools
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,9 +42,10 @@ F = np.float32
 
 # Default pixel-tile shape; render_clusters accepts overrides (the tile is
 # the packet: bigger tiles amortize per-traversal fixed costs, smaller
-# tiles cull tighter).
-TILE_W = 16
-TILE_H = 16
+# tiles cull tighter). 32x32 won the K/tile sweep on the glass benchmark
+# (86.6 vs 63.9 Mrays/s at 16x16); >=2048-ray packets lose to culling.
+TILE_W = 32
+TILE_H = 32
 
 INF = F(3.402823466e38)
 EPSILON = F(1e-4)
@@ -657,7 +658,7 @@ def render_clusters(
     params: FrameParams,
     cfg: StaticConfig,
     interpret: bool = False,
-    tile: tuple = (TILE_H, TILE_W),
+    tile: tuple = None,
     rows: int = None,
     row_offset=0.0,
     stream: bool = None,
@@ -673,6 +674,12 @@ def render_clusters(
     ``stream``: keep geometry in HBM and double-buffer visited clusters
     through VMEM (for scenes beyond the VMEM budget); default: auto by
     geometry size."""
+    C_pad_pre = int(cset.aabb_t.shape[1])
+    if tile is None:
+        # Large packets amortize per-traversal overhead, but multi-block
+        # scenes also scale the blocked-cull temporaries by R — 32x32
+        # tiles with 512-wide cull blocks exceed the 16 MB VMEM budget.
+        tile = (TILE_H, TILE_W) if C_pad_pre <= cl.CULL_BLOCK else (16, 16)
     tile_h, tile_w = tile
     R = tile_w * tile_h
     width, height = cfg.width, cfg.height
@@ -747,7 +754,7 @@ def render_clusters(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "tile"))
 def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False,
-               tile: tuple = (TILE_H, TILE_W)):
+               tile: tuple = None):
     return render_clusters(cset, params, cfg, interpret, tile)
 
 

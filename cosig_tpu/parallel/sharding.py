@@ -95,7 +95,15 @@ def render_sharded_pallas(
 
     axis = mesh.axis_names[0]
     n = mesh.devices.size
-    tile = tile or (trace_pallas.TILE_H, trace_pallas.TILE_W)
+    if tile is None:
+        c_pad = int(cset.aabb_t.shape[1])
+        from cosig_tpu.accel import clusters as _cl
+
+        tile = (
+            (trace_pallas.TILE_H, trace_pallas.TILE_W)
+            if c_pad <= _cl.CULL_BLOCK
+            else (16, 16)
+        )
     # Band height: multiple of the tile rows so shards tile cleanly.
     th = tile[0]
     local_h = -(-cfg.height // (n * th)) * th
