@@ -12,6 +12,7 @@ Usage: python bench.py [--config NAME] [--backend pallas|xla] [--all]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -50,16 +51,46 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     # K renders execute inside ONE dispatch (lax.scan); timing two chain
     # lengths and taking the slope cancels ALL per-dispatch overhead —
     # which on tunneled TPUs is large, variable, and mode-dependent.
-    if backend == "pallas":
+    if backend in ("pallas", "wavefront"):
+        from cosig_tpu.accel import clusters as _cl
+
         tris = extract_triangles(scene)
         mats = np.concatenate(materials_host(scene), axis=1)
         cset = build_clusters(arrays, tris=tris, mats_host=mats)
 
-        def chain(k):
-            img, rays = trace_pallas.render_chain(
-                cset, params, cfg, k, interpret=interpret
-            )
-            return img, rays
+        if backend == "wavefront" and int(cset.aabb_t.shape[1]) > _cl.CULL_BLOCK:
+            backend = "pallas"  # wavefront needs single-block scenes (VMEM)
+
+        if backend == "wavefront":
+            from cosig_tpu.ops import trace_wavefront
+            import dataclasses
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def chain(k):
+                def body(carry, _):
+                    prev, acc = carry
+                    p2 = dataclasses.replace(
+                        params,
+                        light_intensity=params.light_intensity + prev[0, 0, 0] * 0.0,
+                    )
+                    img, rays = trace_wavefront.render_wavefront(
+                        cset, p2, cfg, interpret=interpret
+                    )
+                    return (img, acc + rays), None
+
+                img0, rays0 = trace_wavefront.render_wavefront(
+                    cset, params, cfg, interpret=interpret
+                )
+                (img, total), _ = jax.lax.scan(body, (img0, rays0), None, length=k - 1)
+                return img, total
+
+        else:
+
+            def chain(k):
+                img, rays = trace_pallas.render_chain(
+                    cset, params, cfg, k, interpret=interpret
+                )
+                return img, rays
 
     else:
 
@@ -109,7 +140,7 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     total = t_k2
     n_frames = k2
 
-    if backend == "pallas":
+    if backend in ("pallas", "wavefront"):
         rays = float(probe_val) / k2  # chain sums rays across k frames
     else:
         from cosig_tpu.render.renderer import estimate_rays
@@ -121,7 +152,7 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     # Accuracy gate (BASELINE: <=1e-3 RMSE): pallas vs the XLA oracle at a
     # reduced resolution (full-res brute force would dwarf the bench).
     rmse = None
-    if backend == "pallas":
+    if backend in ("pallas", "wavefront"):
         import dataclasses
 
         scale = max(1, max(cfg.width, cfg.height) // 256)
@@ -129,7 +160,12 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
             cfg, width=cfg.width // scale, height=cfg.height // scale
         )
         ref = np.asarray(trace_xla.render_jit(arrays, params, small))
-        got, _ = trace_pallas.render_jit(cset, params, small, interpret=interpret)
+        if backend == "wavefront":
+            from cosig_tpu.ops import trace_wavefront
+
+            got, _ = trace_wavefront.render_jit(cset, params, small, interpret=interpret)
+        else:
+            got, _ = trace_pallas.render_jit(cset, params, small, interpret=interpret)
         rmse = float(np.sqrt(((np.asarray(got) - ref) ** 2).mean()))
     result = {
         "config": name,
@@ -155,7 +191,8 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="glass_sphere")
-    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--backend", default="wavefront",
+                    choices=["pallas", "wavefront", "xla"])
     ap.add_argument("--all", action="store_true", help="run all 5 configs (details to stderr)")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--emit-details", action="store_true", help=argparse.SUPPRESS)

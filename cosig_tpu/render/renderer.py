@@ -10,7 +10,9 @@ This is the TPU-native equivalent of ``Assets/Services/RayTracer.cs``:
   RayTracer.cs:212-380); ``render_to_device`` is the realtime path that
   returns the device array without readback (RayTracer.cs:76-82);
 * backends: ``"xla"`` (pure-XLA oracle), ``"pallas"`` (fused pixel-tile
-  megakernel), ``"auto"`` (pallas on TPU, xla elsewhere).
+  megakernel), ``"wavefront"`` (per-bounce kernels with global ray
+  compaction — fastest for deep bounces), ``"auto"`` (wavefront on TPU
+  when geometry fits VMEM, pallas for huge scenes, xla elsewhere).
 """
 
 from __future__ import annotations
@@ -97,7 +99,7 @@ class Renderer:
         except ImportError:
             return "xla"
         # Mosaic kernels are TPU-only; anything else uses the XLA path.
-        return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        return "wavefront" if jax.default_backend() in ("tpu", "axon") else "xla"
 
     # ------------------------------------------------------------------
 
@@ -130,14 +132,31 @@ class Renderer:
             )
         elif (
             (arrays := self._arrays_for(scene)) is not None
-            and backend == "pallas"
+            and backend in ("pallas", "wavefront")
             and cfg.debug_mode == 0
         ):
-            from cosig_tpu.render import pallas_backend
+            from cosig_tpu.ops import trace_pallas, trace_wavefront
 
-            img, rays = pallas_backend.render_jit(
-                self._accel_for(arrays), params, cfg
-            )
+            from cosig_tpu.accel import clusters as _cl
+
+            cset = self._accel_for(arrays)
+            interpret = jax.default_backend() == "cpu"
+            geom_bytes = int(cset.geom.size) * 4
+            if (
+                backend == "wavefront"
+                and geom_bytes <= trace_pallas.STREAM_THRESHOLD_BYTES
+                # Multi-block scenes: the wavefront's fixed 1024-ray tiles x
+                # blocked cull exceed VMEM; the megakernel handles them.
+                and int(cset.aabb_t.shape[1]) <= _cl.CULL_BLOCK
+            ):
+                img, rays = trace_wavefront.render_jit(
+                    cset, params, cfg, interpret=interpret
+                )
+            else:
+                # Huge scenes need the megakernel's HBM geometry streaming.
+                from cosig_tpu.render import pallas_backend
+
+                img, rays = pallas_backend.render_jit(cset, params, cfg)
         else:
             img = trace_xla.render_jit(arrays, params, cfg)
         img.block_until_ready()

@@ -141,3 +141,59 @@ def test_hierarchical_cull_multiblock(scene1, monkeypatch):
         cs, params, cfg, interpret=True, stream=True
     )
     np.testing.assert_array_equal(np.asarray(img2), np.asarray(img))
+
+
+# ---------------------------------------------------------------------------
+# Wavefront backend (trace_wavefront): per-bounce stages + ray compaction.
+
+
+def render_wavefront_pair(scene, settings):
+    from cosig_tpu.accel.clusters import build_clusters
+    from cosig_tpu.models.soa import compile_scene, frame_params, static_config
+    from cosig_tpu.ops import trace_wavefront
+
+    arrays = compile_scene(scene)
+    params = frame_params(scene, settings)
+    cfg = static_config(scene, settings)
+    ref = np.asarray(trace_xla.render_jit(arrays, params, cfg))
+    cs = build_clusters(arrays)
+    img, rays = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    return np.asarray(img), ref, float(rays)
+
+
+def test_wavefront_matches_oracle_basic(scene1):
+    st = cosig_tpu.RenderSettings(resolution_override=(48, 32), max_depth=3)
+    img, ref, rays = render_wavefront_pair(scene1, st)
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-5
+    assert 48 * 32 <= rays <= 48 * 32 * 3 * 2
+
+
+def test_wavefront_matches_oracle_effects(scene1):
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(32, 32), max_depth=2, aa_samples=4,
+        enable_soft_shadows=True, light_size=5.0,
+        enable_glossy=True, surface_roughness=0.05,
+        enable_motion_blur=True, shutter_speed=0.5,
+    )
+    img, ref, _ = render_wavefront_pair(scene1, st)
+    diff = np.abs(img - ref).max(axis=2)
+    assert (diff > 1e-3).sum() <= 3  # NaN-slab-edge singles, like the megakernel
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-3
+
+
+def test_wavefront_matches_megakernel_exactly(scene1):
+    """Same plane arithmetic -> the two Pallas backends agree bitwise on
+    deterministic configs."""
+    from cosig_tpu.accel.clusters import build_clusters
+    from cosig_tpu.models.soa import compile_scene, frame_params, static_config
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(resolution_override=(64, 32), max_depth=4)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    img_m, rays_m = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    img_w, rays_w = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_m))
+    assert float(rays_w) == float(rays_m)
