@@ -37,10 +37,19 @@ from cosig_tpu.scene.tessellate import TriangleSoA
 
 F32 = np.float32
 
-# geometry component columns
-V0, E1, E2, N0, N1, N2 = 0, 3, 6, 9, 12, 15
-MAT = 18
-GEOM_COMPS = 19
+# Geometry component columns (Plücker constants precomputed per triangle;
+# see ops/intersect.plucker_constants_host for the math):
+# 0:3 v0 | 3:6 n | 6 n.A | 7:13 VA d/w coeffs | 13:19 VB | 19:25 VC |
+# 25:28 n0 | 28:31 n1 | 31:34 n2 | 34 material
+V0 = 0
+GN = 3
+NDA = 6
+VA = 7
+VB = 13
+VC = 19
+N0, N1, N2 = 25, 28, 31
+MAT = 34
+GEOM_COMPS = 35
 
 DEFAULT_K = 32
 
@@ -167,16 +176,25 @@ def build_clusters(
     # at the real cluster count C.)
     aabb_t = np.full((8, c_pad), np.nan, F32)
     rt = bvh.triangles
+    from cosig_tpu.ops.intersect import plucker_constants_host
+
     for ci, (first, count, node) in enumerate(chunks):
         sl = slice(first, first + count)
+        pk = plucker_constants_host(rt.v0[sl], rt.v1[sl], rt.v2[sl])
         geom[ci, :count, V0 : V0 + 3] = rt.v0[sl]
-        geom[ci, :count, E1 : E1 + 3] = rt.v1[sl] - rt.v0[sl]
-        geom[ci, :count, E2 : E2 + 3] = rt.v2[sl] - rt.v0[sl]
+        geom[ci, :count, GN : GN + 3] = pk["n"]
+        geom[ci, :count, NDA] = pk["n_dot_a"]
+        geom[ci, :count, VA : VA + 3] = pk["va_d"]
+        geom[ci, :count, VA + 3 : VA + 6] = pk["va_w"]
+        geom[ci, :count, VB : VB + 3] = pk["vb_d"]
+        geom[ci, :count, VB + 3 : VB + 6] = pk["vb_w"]
+        geom[ci, :count, VC : VC + 3] = pk["vc_d"]
+        geom[ci, :count, VC + 3 : VC + 6] = pk["vc_w"]
         geom[ci, :count, N0 : N0 + 3] = rt.n0[sl]
         geom[ci, :count, N1 : N1 + 3] = rt.n1[sl]
         geom[ci, :count, N2 : N2 + 3] = rt.n2[sl]
         geom[ci, :count, MAT] = rt.material[sl].astype(F32)
-        # Padding rows keep e1 = e2 = 0 -> det == 0 -> never valid.
+        # Padding rows are all zero -> S == 0 -> never valid.
         v = np.concatenate([rt.v0[sl], rt.v1[sl], rt.v2[sl]], axis=0)
         aabb_t[0:3, ci] = v.min(axis=0)
         aabb_t[3:6, ci] = v.max(axis=0)

@@ -86,6 +86,11 @@ def _make_traverse(aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
         idx = F(1.0) / dx
         idy = F(1.0) / dy
         idz = F(1.0) / dz
+        # Ray moment w = o x d for the Plücker edge volumes (canonical
+        # component order, see intersect.moller_trumbore).
+        wx = oy * dz - oz * dy
+        wy = oz * dx - ox * dz
+        wz = ox * dy - oy * dx
         oxc = ox.reshape(R, 1)
         oyc = oy.reshape(R, 1)
         ozc = oz.reshape(R, 1)
@@ -187,29 +192,35 @@ def _make_traverse(aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
 
         def visit(i, _):
             g = geom[list_smem[0, i]]  # (K, GEOM_COMPS)
-            v0x, v0y, v0z = g[:, 0:1], g[:, 1:2], g[:, 2:3]
-            e1x, e1y, e1z = g[:, 3:4], g[:, 4:5], g[:, 5:6]
-            e2x, e2y, e2z = g[:, 6:7], g[:, 7:8], g[:, 8:9]
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = F(1.0) / det
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            # Plücker/edge-volume intersection on precomputed columns
+            # (ops/intersect.plucker_constants_host): ~55 flops/pair vs
+            # Möller-Trumbore's ~90, same test and epsilons. The chain
+            # order mirrors intersect.moller_trumbore exactly.
+            gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
+            nda = g[:, 6:7]
+            va = (
+                dx * g[:, 7:8] + dy * g[:, 8:9] + dz * g[:, 9:10]
+                + wx * g[:, 10:11] + wy * g[:, 11:12] + wz * g[:, 12:13]
+            )
+            vb = (
+                dx * g[:, 13:14] + dy * g[:, 14:15] + dz * g[:, 15:16]
+                + wx * g[:, 16:17] + wy * g[:, 17:18] + wz * g[:, 18:19]
+            )
+            vc = (
+                dx * g[:, 19:20] + dy * g[:, 20:21] + dz * g[:, 21:22]
+                + wx * g[:, 22:23] + wy * g[:, 23:24] + wz * g[:, 24:25]
+            )
+            s = dx * gnx + dy * gny + dz * gnz
+            ndo = ox * gnx + oy * gny + oz * gnz
+            inv_s = F(1.0) / s
+            t = (nda - ndo) * inv_s
+            u = vb * inv_s
+            v = vc * inv_s
             valid = (
-                (jnp.abs(det) >= EPSILON)
-                & (u >= F(0.0))
-                & (u <= F(1.0))
-                & (v >= F(0.0))
-                & (u + v <= F(1.0))
+                (jnp.abs(s) >= EPSILON)
+                & (va * s >= F(0.0))
+                & (vb * s >= F(0.0))
+                & (vc * s >= F(0.0))
                 & (t > EPSILON)
             )
             tm = jnp.where(valid, t, INF)
@@ -224,10 +235,10 @@ def _make_traverse(aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
             u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
             v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
             w_c = F(1.0) - u_c - v_c
-            nx = w_c * sel(g[:, 9:10]) + u_c * sel(g[:, 12:13]) + v_c * sel(g[:, 15:16])
-            ny = w_c * sel(g[:, 10:11]) + u_c * sel(g[:, 13:14]) + v_c * sel(g[:, 16:17])
-            nz = w_c * sel(g[:, 11:12]) + u_c * sel(g[:, 14:15]) + v_c * sel(g[:, 17:18])
-            mat_c = sel(g[:, 18:19])
+            nx = w_c * sel(g[:, 25:26]) + u_c * sel(g[:, 28:29]) + v_c * sel(g[:, 31:32])
+            ny = w_c * sel(g[:, 26:27]) + u_c * sel(g[:, 29:30]) + v_c * sel(g[:, 32:33])
+            nz = w_c * sel(g[:, 27:28]) + u_c * sel(g[:, 30:31]) + v_c * sel(g[:, 33:34])
+            mat_c = sel(g[:, 34:35])
 
             better = tmin < best_ref[0:1]
             best_ref[0:1] = jnp.where(better, tmin, best_ref[0:1])

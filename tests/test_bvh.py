@@ -61,21 +61,23 @@ def test_clusters_cover_all_triangles():
     assert cs.num_triangles == tris.count
     geom = np.asarray(cs.geom)
     assert geom.shape[1:] == (32, GEOM_COMPS)
-    # Padding rows have degenerate edges (e1 == e2 == 0).
-    e1 = geom[:, :, 3:6]
-    e2 = geom[:, :, 6:9]
-    is_pad = (np.abs(e1).sum(axis=2) == 0) & (np.abs(e2).sum(axis=2) == 0)
+    # Padding rows are all-zero (S == 0 -> never valid).
+    is_pad = np.abs(geom).sum(axis=2) == 0
     real = (~is_pad).sum()
     assert real == tris.count
-    # Every cluster's real triangles lie inside its AABB.
+    # Every cluster's real triangles lie inside its AABB. Vertices are
+    # reconstructed from the Plücker edge w-coefficients:
+    # vc_w = B - A, va_w = C - B (see clusters.py column layout).
     aabb = np.asarray(cs.aabb_t)
+    from cosig_tpu.accel.clusters import V0, VA, VC
+
     for c in range(cs.num_clusters):
         rows = ~is_pad[c]
         if not rows.any():
             continue
-        v0 = geom[c, rows, 0:3]
-        v1 = v0 + geom[c, rows, 3:6]
-        v2 = v0 + geom[c, rows, 6:9]
+        v0 = geom[c, rows, V0 : V0 + 3]
+        v1 = v0 + geom[c, rows, VC + 3 : VC + 6]
+        v2 = v1 + geom[c, rows, VA + 3 : VA + 6]
         pts = np.concatenate([v0, v1, v2])
         assert (pts >= aabb[0:3, c] - 1e-4).all()
         assert (pts <= aabb[3:6, c] + 1e-4).all()
