@@ -115,8 +115,12 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
 
         chain = jax.jit(chain, static_argnames=("k",))
 
-    # Pick chain lengths so the long chain runs ~repeats frames.
-    k1, k2 = 2, max(4, repeats)
+    # Pick chain lengths so the slope (t_k2 - t_k1) comfortably exceeds
+    # dispatch noise: small configs need long chains (a 1 ms frame against
+    # ~10 ms of jitter needs dozens of frames).
+    pixels = cfg.width * cfg.height * max(1, cfg.aa_samples)
+    k1 = 2
+    k2 = max(repeats, min(24, int(2.5e8 / max(pixels, 1)) + 1))
 
     # Warm/compile BOTH chain lengths before timing (each k is a separate
     # executable; Mosaic compiles run 0.6-200 s and must not be timed).
