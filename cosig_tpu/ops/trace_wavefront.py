@@ -574,8 +574,8 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, is_last: bool):
 GROUP = 128  # compaction granularity (rays); lane-aligned contiguous blocks
 
 
-def _compact_groups(state, group_perm, n_pad: int):
-    """Group-granular ray compaction.
+def _compact_prefix(state, group_perm, n_pad: int, eg: int):
+    """Group-granular ray compaction over the first ``eg`` groups.
 
     Per-ray gathers (and scatters) on TPU run at ~3 GB/s (element-indexed);
     gathering 128-ray contiguous blocks instead is ~46x faster (2.8 ms vs
@@ -585,18 +585,31 @@ def _compact_groups(state, group_perm, n_pad: int):
     alive groups sort by the leading ray's direction octant for packet
     coherence. ``group_perm`` accumulates the composed permutation so the
     final stage can restore pixel order with one group gather instead of a
-    (pathologically slow) per-ray scatter."""
+    (pathologically slow) per-ray scatter.
+
+    Dead rays never resurrect, so alive groups always sit inside the prefix
+    dispatched at the previous depth: sorting/gathering only that ``eg``-group
+    extent (the permutation stays within it; the dead tail's final colors are
+    left in place) turns the full-state permute into a prefix-sized one.
+
+    Returns ``(state, group_perm, n_alive_groups)``."""
     g = n_pad // GROUP
     s3 = state.reshape(ROWS, g, GROUP)
-    galive = (s3[12] > F(0.5)).any(axis=1)
+    p3 = jax.lax.slice(s3, (0, 0, 0), (ROWS, eg, GROUP))
+    galive = (p3[12] > F(0.5)).any(axis=1)
     octant = (
-        (s3[3, :, 0] > 0).astype(jnp.int32)
-        + 2 * (s3[4, :, 0] > 0).astype(jnp.int32)
-        + 4 * (s3[5, :, 0] > 0).astype(jnp.int32)
+        (p3[3, :, 0] > 0).astype(jnp.int32)
+        + 2 * (p3[4, :, 0] > 0).astype(jnp.int32)
+        + 4 * (p3[5, :, 0] > 0).astype(jnp.int32)
     )
     keys = jnp.where(galive, octant, 8)
     order = jnp.argsort(keys, stable=True)
-    return s3[:, order, :].reshape(ROWS, n_pad), group_perm[order]
+    n_alive_g = jnp.sum(galive.astype(jnp.int32))
+    packed = p3[:, order, :].reshape(ROWS, eg * GROUP)
+    state = jax.lax.dynamic_update_slice(state, packed, (0, 0))
+    gp_prefix = jax.lax.slice(group_perm, (0,), (eg,))[order]
+    group_perm = jax.lax.dynamic_update_slice(group_perm, gp_prefix, (0,))
+    return state, group_perm, n_alive_g
 
 
 def render_wavefront(
@@ -655,21 +668,68 @@ def render_wavefront(
     )(uniforms, cset.mats, lights, cset.aabb_t, cset.sb_aabb_t, cset.geom)
 
     # ---- bounce stages with compaction between ----
-    group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
-    for depth in range(1, cfg.max_depth):
-        state, group_perm = _compact_groups(state, group_perm, n_pad)
+    # Alive groups are compacted to a prefix, so the bounce kernel only
+    # needs to cover that prefix. The grid must be static under jit, so we
+    # precompile a small ladder of prefix sizes (1/16, 1/4, full) and pick
+    # the smallest one covering the alive count with lax.switch: at depth
+    # >= 3 on the headline scene <5 % of rays survive, and dispatching
+    # n_tiles/16 instead of n_tiles removes ~10 ms/bounce of dead-tile
+    # grid-step + block-DMA overhead. Dead rays never resurrect, so the
+    # compaction itself also shrinks: it only sorts/permutes the extent
+    # dispatched at the previous depth (an outer switch over ``ext_idx``),
+    # leaving the dead tail — whose colors are final — untouched in HBM.
+    levels = sorted({max(1, -(-n_tiles // 16)), max(1, -(-n_tiles // 4)), n_tiles})
+    lv_arr = jnp.array(levels, jnp.int32)
+
+    def make_bounce(depth: int, is_last: bool):
+        kernel = _make_bounce_kernel(cfg, dims, is_last)
         uni_d = uniforms.at[U_DEPTH].set(jnp.float32(depth))
-        is_last = depth == cfg.max_depth - 1
-        state = pl.pallas_call(
-            _make_bounce_kernel(cfg, dims, is_last),
-            grid=(n_tiles,),
-            in_specs=geom_specs
-            + [pl.BlockSpec((ROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
-            scratch_shapes=scratch + [pltpu.VMEM((ROWS, R), jnp.float32)],
-            interpret=interpret,
-        )(uni_d, cset.mats, lights, cset.aabb_t, cset.sb_aabb_t, cset.geom, state)
+
+        def run_prefix(st, pt):
+            P = pt * R
+            sub = jax.lax.slice(st, (0, 0), (ROWS, P))
+            out = pl.pallas_call(
+                kernel,
+                grid=(pt,),
+                in_specs=geom_specs
+                + [pl.BlockSpec((ROWS, R), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((ROWS, P), jnp.float32),
+                scratch_shapes=scratch + [pltpu.VMEM((ROWS, R), jnp.float32)],
+                interpret=interpret,
+            )(uni_d, cset.mats, lights, cset.aabb_t, cset.sb_aabb_t,
+              cset.geom, sub)
+            return jax.lax.dynamic_update_slice(st, out, (0, 0))
+
+        def at_extent(st, gp, ext_tiles):
+            st, gp, n_alive_g = _compact_prefix(
+                st, gp, n_pad, ext_tiles * R // GROUP)
+            needed_tiles = (n_alive_g * GROUP + (R - 1)) // R
+            # Smallest level covering the alive prefix; alive rays sit
+            # inside the current extent, so idx <= the extent's own index.
+            idx = jnp.sum(lv_arr < needed_tiles)
+            st = jax.lax.switch(
+                idx, [functools.partial(run_prefix, pt=lvl) for lvl in levels],
+                st,
+            )
+            return st, gp, idx
+
+        return at_extent
+
+    group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
+    ext_idx = None  # depth-1 compaction covers the full primary output
+    for depth in range(1, cfg.max_depth):
+        at_extent = make_bounce(depth, depth == cfg.max_depth - 1)
+        if ext_idx is None:
+            state, group_perm, ext_idx = at_extent(state, group_perm, n_tiles)
+        else:
+            state, group_perm, ext_idx = jax.lax.switch(
+                ext_idx,
+                [functools.partial(at_extent, ext_tiles=lvl) for lvl in levels],
+                state, group_perm,
+            )
 
     # ---- restore pixel order (inverse group permutation, one cheap group
     # gather) and un-tile with pure reshapes; no per-ray scatter ----
