@@ -197,3 +197,12 @@ def test_wavefront_matches_megakernel_exactly(scene1):
     img_w, rays_w = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
     np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_m))
     assert float(rays_w) == float(rays_m)
+
+def test_wavefront_prefix_ladder(scene1):
+    """A frame big enough for a 3-level alive-prefix ladder (9 tiles ->
+    levels {1, 3, 9}): deeper bounces dispatch shrinking prefixes and the
+    prefix-scoped compaction must leave the dead tail's colors intact."""
+    st = cosig_tpu.RenderSettings(resolution_override=(96, 96), max_depth=4)
+    img, ref, rays = render_wavefront_pair(scene1, st)
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-5
+    assert rays >= 96 * 96  # at least every primary ray counted
