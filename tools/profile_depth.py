@@ -1,13 +1,19 @@
 """Profile the wavefront backend per depth: time glass_sphere at
-max_depth=1..6 with slope timing. Depth-1 time = primary stage cost;
-each increment = one compaction + one bounce stage. Run on TPU:
+selected max_depth values with slope timing. Depth-1 time = primary
+stage cost; each increment = one compaction + one bounce stage.
 
-    python tools/profile_depth.py
+Run on TPU (via stdin from /root/repo — PYTHONPATH breaks axon):
+
+    python - < tools/profile_depth.py            # depths 1..6 (slow:
+                                                 # 12 Mosaic compiles,
+                                                 # may exceed 10 min)
+    python - 1 3 6 < tools/profile_depth.py      # just these depths
 """
 from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 import time
 
 import jax
@@ -32,8 +38,11 @@ def main():
     cset = build_clusters(arrays, tris=tris, mats_host=mats)
     interpret = jax.default_backend() == "cpu"
 
+    depths = [int(a) for a in sys.argv[1:]] or list(
+        range(1, cfg0.max_depth + 1))
+
     prev_ms = 0.0
-    for depth in range(1, cfg0.max_depth + 1):
+    for depth in depths:
         cfg = dataclasses.replace(cfg0, max_depth=depth)
 
         @functools.partial(jax.jit, static_argnames=("k",))
