@@ -40,7 +40,7 @@ F32 = np.float32
 # Geometry component columns (Plücker constants precomputed per triangle;
 # see ops/intersect.plucker_constants_host for the math):
 # 0:3 v0 | 3:6 n | 6 n.A | 7:13 VA d/w coeffs | 13:19 VB | 19:25 VC |
-# 25:28 n0 | 28:31 n1 | 31:34 n2 | 34 material
+# 25:28 n0 | 28:31 n1 | 31:34 n2 | 34 material | 35 global tri index
 V0 = 0
 GN = 3
 NDA = 6
@@ -49,7 +49,12 @@ VB = 13
 VC = 19
 N0, N1, N2 = 25, 28, 31
 MAT = 34
-GEOM_COMPS = 35
+GID = 35  # original (pre-BVH-reorder) soup index, f32 (exact below 2^24)
+GEOM_COMPS = 36
+
+# GID of padding rows / the no-hit state: above every real index, so the
+# lexicographic (t, gid) tie-break never picks padding. f32-exact.
+GID_PAD = F32(2 ** 24)
 
 DEFAULT_K = 32
 
@@ -140,6 +145,7 @@ def build_clusters(
     t = tris.count
     if t == 0:
         geom = np.zeros((1, k, GEOM_COMPS), F32)
+        geom[:, :, GID] = GID_PAD
         aabb_t = np.full((8, 128), np.nan, F32)  # NaN: never passes the slab test
         return ClusterSet(
             geom=jnp.asarray(geom),
@@ -170,7 +176,11 @@ def build_clusters(
     c_pad = -(-c // 128) * 128
     if c_pad > CULL_BLOCK:
         c_pad = -(-c // CULL_BLOCK) * CULL_BLOCK
+    assert t < 2 ** 24, "global tri index must stay f32-exact"
     geom = np.zeros((c, k, GEOM_COMPS), F32)
+    # Padding rows can never win (S == 0 -> invalid), but give them the
+    # above-everything GID anyway so tie-break reductions stay trivial.
+    geom[:, :, GID] = GID_PAD
     # Padding columns are NaN -> slab comparisons are all False -> never
     # hit, for every ray. (Defense in depth: the compaction loop also stops
     # at the real cluster count C.)
@@ -194,10 +204,26 @@ def build_clusters(
         geom[ci, :count, N1 : N1 + 3] = rt.n1[sl]
         geom[ci, :count, N2 : N2 + 3] = rt.n2[sl]
         geom[ci, :count, MAT] = rt.material[sl].astype(F32)
+        # Original soup index: the deterministic intersection tie-break.
+        # The XLA oracle's reduction (first-occurrence argmin over soup
+        # blocks + strict < across blocks) is lexicographic (t, soup
+        # index); carrying the pre-reorder index lets the kernels resolve
+        # exact-t ties identically (silhouette edge pixels).
+        geom[ci, :count, GID] = bvh.order[sl].astype(F32)
         # Padding rows are all zero -> S == 0 -> never valid.
         v = np.concatenate([rt.v0[sl], rt.v1[sl], rt.v2[sl]], axis=0)
-        aabb_t[0:3, ci] = v.min(axis=0)
-        aabb_t[3:6, ci] = v.max(axis=0)
+        vmin = v.min(axis=0)
+        vmax = v.max(axis=0)
+        # Conservative inflation: the kernel's fp slab test can reject a
+        # grazing ray whose triangle intersection is still fp-valid
+        # (tn > tf by rounding ULPs at the box surface). That makes a
+        # ray's hit set depend on which *packet* culled the cluster —
+        # breaking backend-exactness at silhouettes. A margin orders of
+        # magnitude above the slab's rounding error makes the cull a true
+        # superset of the intersection test at negligible over-visit cost.
+        pad = F32(1e-4) + F32(1e-5) * (vmax - vmin)
+        aabb_t[0:3, ci] = vmin - pad
+        aabb_t[3:6, ci] = vmax + pad
 
     return ClusterSet(
         geom=jnp.asarray(geom),

@@ -2,12 +2,18 @@
 
 The TPU-native rewrite of the reference's single compute kernel
 (``Assets/Shaders/BVHRayTracing.compute:273-511``): one ``pallas_call``
-renders the frame; each grid step owns a pixel tile (default 16x16 =
-256 rays) and runs ray-gen -> packet cluster traversal -> shading ->
+renders the frame; each grid step owns a pixel tile (default 32x32 =
+1024 rays) and runs ray-gen -> packet cluster traversal -> shading ->
 shadow traversal -> secondary rays for every bounce and AA sample.
 Geometry is VMEM-resident for small scenes, HBM-streamed (double-buffered
 per-cluster DMA) for large ones; culling is hierarchical (superblock
 pre-cull) once the cluster count exceeds one cull block.
+
+The traversal and bounce physics live in :mod:`cosig_tpu.ops.kernel_core`
+(shared verbatim with the wavefront backend so the two stay bitwise
+equal); this module owns the schedule: per-tile ray generation, the
+AA-sample x depth loop with whole-tile early exit, and the framebuffer
+layout.
 
 Data-layout contract (see :mod:`cosig_tpu.accel.clusters`):
 
@@ -37,6 +43,30 @@ from jax.experimental.pallas import tpu as pltpu
 from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams, StaticConfig
 from cosig_tpu.ops import camera, rng
+from cosig_tpu.ops.kernel_core import (  # noqa: F401  (re-exported legacy names)
+    EPSILON,
+    INF,
+    OFFSET,
+    U_BG,
+    U_CAM,
+    U_DEPTH,
+    U_DIST,
+    U_INTENSITY,
+    U_LIGHT_SIZE,
+    U_ORTHO,
+    U_PLANE_H,
+    U_ROUGHNESS,
+    U_ROW_OFF,
+    U_SHUTTER,
+    UNIFORMS_LEN,
+    _pow32,
+    _rsqrt_planes,
+    _ruv_planes,
+    bounce_core,
+    build_lights,
+    build_uniforms,
+    make_traverse,
+)
 
 F = np.float32
 
@@ -47,79 +77,10 @@ F = np.float32
 TILE_W = 32
 TILE_H = 32
 
-INF = F(3.402823466e38)
-EPSILON = F(1e-4)
-OFFSET = F(1e-2)
-
 # Auto-stream geometry through HBM above this clustered-geometry size.
 STREAM_THRESHOLD_BYTES = 6 * 1024 * 1024
 
-# uniforms layout (SMEM [UNIFORMS_LEN] f32)
-U_CAM = 0  # 12 floats: rows of the 3x4 camera->object matrix
-U_DIST = 12
-U_PLANE_H = 13
-U_ORTHO = 14
-U_BG = 15  # 3
-U_INTENSITY = 18
-U_LIGHT_SIZE = 19
-U_ROUGHNESS = 20
-U_SHUTTER = 21
-U_ROW_OFF = 22  # global row offset of this shard's band (multi-chip)
-UNIFORMS_LEN = 24
-
-
-def _pow32(x):
-    x2 = x * x
-    x4 = x2 * x2
-    x8 = x4 * x4
-    x16 = x8 * x8
-    return x16 * x16
-
-
-def _rsqrt_planes(x, y, z):
-    # 1/sqrt then multiply (not lax.rsqrt): bit-matches intersect.normalize.
-    inv = F(1.0) / jnp.sqrt(x * x + y * y + z * z)
-    return x * inv, y * inv, z * inv
-
-
-def _ruv_planes(sx, sy, sz):
-    """random_unit_vector on planes (compute:124-131)."""
-    h0, _, h2 = rng.hash33(sx, sy, sz)
-    z = h2 * F(2.0) - F(1.0)
-    a = h0 * rng.TWO_PI
-    r = jnp.sqrt(jnp.maximum(F(0.0), F(1.0) - z * z))
-    return r * jnp.cos(a), r * jnp.sin(a), z
-
-
-def build_uniforms(params: FrameParams, row_offset=0.0) -> jax.Array:
-    """Pack dynamic frame parameters into the SMEM uniforms vector."""
-    m = params.cam_to_obj
-    plane_h = (
-        F(2.0) * params.cam_distance * jnp.tan(jnp.deg2rad(params.fov_deg) * F(0.5))
-    )
-    vals = [
-        m[0, 0], m[0, 1], m[0, 2], m[0, 3],
-        m[1, 0], m[1, 1], m[1, 2], m[1, 3],
-        m[2, 0], m[2, 1], m[2, 2], m[2, 3],
-        params.cam_distance,
-        plane_h,
-        params.ortho_size,
-        params.background[0], params.background[1], params.background[2],
-        params.light_intensity,
-        params.light_size,
-        params.surface_roughness,
-        params.shutter_speed,
-        row_offset, F(0.0),
-    ]
-    return jnp.stack([jnp.asarray(v, F) for v in vals])
-
-
-def build_lights(params: FrameParams, multi_light: bool) -> jax.Array:
-    """SMEM light table [L, 8]: pos xyz, rgb, pad pad."""
-    pos = params.light_pos if multi_light else params.light_pos[:1]
-    rgb = params.light_rgb if multi_light else params.light_rgb[:1]
-    pad = jnp.zeros((pos.shape[0], 2), F)
-    return jnp.concatenate([pos, rgb, pad], axis=1)
+STATE_ROWS = 24  # shared ray-state layout (kernel_core.bounce_core)
 
 
 def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, nbx: int,
@@ -130,8 +91,6 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
     aa = max(1, cfg.aa_samples)
     grid_w, grid_h = camera.aa_grid(aa)
     R = tile_w * tile_h
-    GB = cl.CULL_BLOCK
-    n_blocks = max(1, C_pad // GB)
 
     def kernel(
         uniforms, mats, lights, aabb_t, sb_aabb_t, geom,
@@ -157,273 +116,23 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
         plane_w = plane_h * F(width / height)
         ortho_h = uniforms[U_ORTHO]
         ortho_w = ortho_h * F(width / height)
-        bg = (uniforms[U_BG], uniforms[U_BG + 1], uniforms[U_BG + 2])
-        intensity = uniforms[U_INTENSITY]
-        light_size = uniforms[U_LIGHT_SIZE]
-        roughness = uniforms[U_ROUGHNESS]
         shutter = uniforms[U_SHUTTER]
 
-        # ------------------------------------------------------------------
-        def traverse(ox, oy, oz, dx, dy, dz, active, max_t=None):
-            """Packet cluster traversal -> (hit, t, nx, ny, nz, mat).
-
-            Three stages, sized so the scalar unit never stalls the VPU on a
-            per-cluster basis (the per-cluster branch pattern costs ~300 ns
-            per cluster; this structure costs ~0.4 us per *traversal*):
-
-            1. one vectorized (R, C_pad) slab test, masked by the alive
-               lanes (dead rays don't vote -> natural ray compaction);
-            2. per-cluster any-hit flags DMA'd VMEM->SMEM, scalar-compacted
-               into a hit-cluster index list;
-            3. a dynamic-trip fori_loop over only the hit clusters.
-            """
-            best_ref[0:1] = jnp.full((1, R), INF, F)
-            best_ref[1:2] = jnp.zeros((1, R), F)
-            best_ref[2:3] = jnp.ones((1, R), F)  # default normal (0,1,0)
-            best_ref[3:4] = jnp.zeros((1, R), F)
-            best_ref[4:5] = jnp.full((1, R), -1.0, F)
-
-            idx = F(1.0) / dx
-            idy = F(1.0) / dy
-            idz = F(1.0) / dz
-            # Ray moment w = o x d for the Plücker edge volumes (canonical
-            # component order, see intersect.moller_trumbore).
-            wx = oy * dz - oz * dy
-            wy = oz * dx - ox * dz
-            wz = ox * dy - oy * dx
-            rowid = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-
-            # ---- stage 1: vectorized cull ----
-            oxc = ox.reshape(R, 1)
-            oyc = oy.reshape(R, 1)
-            ozc = oz.reshape(R, 1)
-            idxc = idx.reshape(R, 1)
-            idyc = idy.reshape(R, 1)
-            idzc = idz.reshape(R, 1)
-            act = active.astype(F).reshape(R, 1)
-            mt_col = None if max_t is None else max_t.reshape(R, 1)
-
-            def cull(b0, b1, b2, b3, b4, b5):
-                """Slab test of the tile's rays vs a row of boxes -> flags
-                (1, W) i32. Inputs are the six AABB component rows."""
-                t0x = (b0 - oxc) * idxc
-                t1x = (b3 - oxc) * idxc
-                t0y = (b1 - oyc) * idyc
-                t1y = (b4 - oyc) * idyc
-                t0z = (b2 - ozc) * idzc
-                t1z = (b5 - ozc) * idzc
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                    jnp.minimum(t0z, t1z),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                    jnp.maximum(t0z, t1z),
-                )
-                boxhit = (tn <= tf) & (tf >= F(0.0)) & (act > F(0.0))
-                if mt_col is not None:
-                    # Shadow rays: boxes entered beyond the light distance
-                    # cannot contain a hit closer than the light (t >= tn);
-                    # `lit` treats miss and beyond-light hits identically.
-                    boxhit = boxhit & (tn <= mt_col)
-                return jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
-
-            if n_blocks == 1:
-                flag_vmem[:, :] = cull(
-                    aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
-                    aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
-                )
-                copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
-                copy.start()
-                copy.wait()
-
-                def compact(c, n):
-                    f = flags_smem[0, c]
-
-                    @pl.when(f > 0)
-                    def _():
-                        list_smem[0, n] = c
-
-                    return n + jnp.where(f > 0, 1, 0)
-
-                n_hit = jax.lax.fori_loop(0, C, compact, 0)
-            else:
-                # Hierarchical cull for large scenes: the (R, C_pad) slab
-                # test would blow VMEM, so test CULL_BLOCK-cluster
-                # superblock unions first and only cull (and later compact)
-                # the blocks some ray may enter.
-                sbflag_vmem[:, :] = cull(
-                    sb_aabb_t[0:1, :], sb_aabb_t[1:2, :], sb_aabb_t[2:3, :],
-                    sb_aabb_t[3:4, :], sb_aabb_t[4:5, :], sb_aabb_t[5:6, :],
-                )
-                sb_copy = pltpu.make_async_copy(sbflag_vmem, sb_smem, sem)
-                sb_copy.start()
-                sb_copy.wait()
-
-                flag_vmem[:, :] = jnp.zeros((1, C_pad), jnp.int32)
-
-                def blk(b, _):
-                    @pl.when(sb_smem[0, b] > 0)
-                    def _():
-                        off = b * GB
-                        flag_vmem[:, pl.ds(off, GB)] = cull(
-                            aabb_t[0:1, pl.ds(off, GB)],
-                            aabb_t[1:2, pl.ds(off, GB)],
-                            aabb_t[2:3, pl.ds(off, GB)],
-                            aabb_t[3:4, pl.ds(off, GB)],
-                            aabb_t[4:5, pl.ds(off, GB)],
-                            aabb_t[5:6, pl.ds(off, GB)],
-                        )
-
-                    return 0
-
-                jax.lax.fori_loop(0, n_blocks, blk, 0)
-
-                copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
-                copy.start()
-                copy.wait()
-
-                def sb_compact(s, n):
-                    hi = jnp.minimum((s + 1) * GB, C)
-
-                    def inner(c, n2):
-                        fc = flags_smem[0, c]
-
-                        @pl.when(fc > 0)
-                        def _():
-                            list_smem[0, n2] = c
-
-                        return n2 + jnp.where(fc > 0, 1, 0)
-
-                    return jax.lax.cond(
-                        sb_smem[0, s] > 0,
-                        lambda nn: jax.lax.fori_loop(s * GB, hi, inner, nn),
-                        lambda nn: nn,
-                        n,
-                    )
-
-                n_hit = jax.lax.fori_loop(0, n_blocks, sb_compact, 0)
-
-            # ---- stage 3: intersect only the hit clusters ----
-            if stream:
-                # Geometry lives in HBM; double-buffer each visited
-                # cluster's (K, GEOM_COMPS) block through VMEM so the DMA
-                # for cluster i+1 overlaps the intersection of cluster i
-                # (geometry-domain blocking, SURVEY.md section 5).
-                def _gdma(i, slot):
-                    return pltpu.make_async_copy(
-                        geom.at[list_smem[0, i]], gbuf.at[slot], gsem.at[slot]
-                    )
-
-                @pl.when(n_hit > 0)
-                def _():
-                    _gdma(0, 0).start()
-
-            def visit(i, _):
-                if stream:
-                    slot = jax.lax.rem(i, 2)
-
-                    @pl.when(i + 1 < n_hit)
-                    def _():
-                        _gdma(i + 1, jax.lax.rem(i + 1, 2)).start()
-
-                    _gdma(i, slot).wait()
-                    g = gbuf[slot]  # (K, GEOM_COMPS)
-                else:
-                    g = geom[list_smem[0, i]]  # (K, GEOM_COMPS)
-                # Plücker/edge-volume intersection on precomputed columns
-                # (ops/intersect.plucker_constants_host): ~55 flops/pair vs
-                # Möller-Trumbore's ~90, same test and epsilons
-                # (compute:153-179). Chain order mirrors
-                # intersect.moller_trumbore exactly.
-                gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
-                nda = g[:, 6:7]
-                va = (
-                    dx * g[:, 7:8] + dy * g[:, 8:9] + dz * g[:, 9:10]
-                    + wx * g[:, 10:11] + wy * g[:, 11:12] + wz * g[:, 12:13]
-                )
-                vb = (
-                    dx * g[:, 13:14] + dy * g[:, 14:15] + dz * g[:, 15:16]
-                    + wx * g[:, 16:17] + wy * g[:, 17:18] + wz * g[:, 18:19]
-                )
-                vc = (
-                    dx * g[:, 19:20] + dy * g[:, 20:21] + dz * g[:, 21:22]
-                    + wx * g[:, 22:23] + wy * g[:, 23:24] + wz * g[:, 24:25]
-                )
-                s = dx * gnx + dy * gny + dz * gnz
-                ndo = ox * gnx + oy * gny + oz * gnz
-                inv_s = F(1.0) / s
-                t = (nda - ndo) * inv_s
-                u = vb * inv_s
-                v = vc * inv_s
-                valid = (
-                    (jnp.abs(s) >= EPSILON)
-                    & (va * s >= F(0.0))
-                    & (vb * s >= F(0.0))
-                    & (vc * s >= F(0.0))
-                    & (t > EPSILON)
-                )
-                tm = jnp.where(valid, t, INF)
-                tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, R)
-                # First-occurrence winner via row-index min.
-                cand = jnp.where(tm == tmin, rowid, K)
-                kmin = jnp.min(cand, axis=0, keepdims=True)
-                oh = (rowid == kmin).astype(F)
-
-                def sel(col):
-                    return jnp.sum(oh * col, axis=0, keepdims=True)
-
-                u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
-                v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
-                w_c = F(1.0) - u_c - v_c
-                nx = w_c * sel(g[:, 25:26]) + u_c * sel(g[:, 28:29]) + v_c * sel(g[:, 31:32])
-                ny = w_c * sel(g[:, 26:27]) + u_c * sel(g[:, 29:30]) + v_c * sel(g[:, 32:33])
-                nz = w_c * sel(g[:, 27:28]) + u_c * sel(g[:, 30:31]) + v_c * sel(g[:, 33:34])
-                mat_c = sel(g[:, 34:35])
-
-                better = tmin < best_ref[0:1]
-                best_ref[0:1] = jnp.where(better, tmin, best_ref[0:1])
-                best_ref[1:2] = jnp.where(better, nx, best_ref[1:2])
-                best_ref[2:3] = jnp.where(better, ny, best_ref[2:3])
-                best_ref[3:4] = jnp.where(better, nz, best_ref[3:4])
-                best_ref[4:5] = jnp.where(better, mat_c, best_ref[4:5])
-                return 0
-
-            jax.lax.fori_loop(0, n_hit, visit, 0)
-
-            t = best_ref[0:1]
-            hit = t < INF
-            nx, ny, nz = best_ref[1:2], best_ref[2:3], best_ref[3:4]
-            nx, ny, nz = _rsqrt_planes(nx, ny, nz)
-            nx = jnp.where(hit, nx, F(0.0))
-            ny = jnp.where(hit, ny, F(1.0))
-            nz = jnp.where(hit, nz, F(0.0))
-            return hit, t, nx, ny, nz, best_ref[4:5]
+        traverse = make_traverse(
+            aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
+            list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
+            gbuf=gbuf, gsem=gsem, stream=stream,
+        )
 
         # ------------------------------------------------------------------
-        def fetch_mat(mat_c):
-            """Material select via a static loop over the SMEM table
-            (defaults for miss, compute:371-376)."""
-            props = [
-                jnp.full((1, R), d, F)
-                for d in (1.0, 1.0, 1.0, 0.1, 0.7, 0.0, 0.0, 1.0)
-            ]
-            for m in range(M):
-                is_m = mat_c == F(m)
-                for p in range(8):
-                    props[p] = jnp.where(is_m, mats[m, p], props[p])
-            return props  # cr, cg, cb, kA, kD, kS, kRefr, ior
-
-        # ------------------------------------------------------------------
-        # Ray state lives in the VMEM scratch `state` so each bounce can be
-        # a @pl.when(any_ray_alive) block — dead tiles skip whole bounces
-        # (traversal + shadow + shading), the tile-level form of ray
-        # compaction. Rows: 0-2 origin, 3-5 direction, 6-8 attenuation,
-        # 9-11 sample color, 12 alive flag, 13 ray count (across samples).
+        # Ray state lives in the VMEM scratch `state` (kernel_core row
+        # layout) so each bounce can be a @pl.when(any_ray_alive) block —
+        # dead tiles skip whole bounces (traversal + shadow + shading), the
+        # tile-level form of ray compaction.
         acc_r = jnp.zeros((1, R), F)
         acc_g = jnp.zeros((1, R), F)
         acc_b = jnp.zeros((1, R), F)
-        state[13:14] = jnp.zeros((1, R), F)
+        state[16:17] = jnp.zeros((1, R), F)  # rays-traced count
 
         for s in range(aa):
             # ---- AA offsets (compute:300-310) ----
@@ -479,177 +188,17 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
             state[9:12] = jnp.zeros((3, R), F)  # sample color
             state[12:13] = jnp.ones((1, R), F)  # alive
 
+            s_plane = jnp.full((1, R), s, F)
             for depth in range(cfg.max_depth):
                 any_alive = jnp.sum(state[12:13]) > F(0.0)
 
                 @pl.when(any_alive)
-                def _(depth=depth, s=s):
-                    ox, oy, oz = state[0:1], state[1:2], state[2:3]
-                    dx, dy, dz = state[3:4], state[4:5], state[5:6]
-                    at_r, at_g, at_b = state[6:7], state[7:8], state[8:9]
-                    scol_r, scol_g, scol_b = state[9:10], state[10:11], state[11:12]
-                    alive = state[12:13] > F(0.0)
-
-                    state[13:14] = state[13:14] + alive.astype(F)
-                    hit, t, nx, ny, nz, mat_c = traverse(ox, oy, oz, dx, dy, dz, alive)
-
-                    miss = alive & ~hit
-                    scol_r = scol_r + jnp.where(miss, at_r * bg[0], F(0.0))
-                    scol_g = scol_g + jnp.where(miss, at_g * bg[1], F(0.0))
-                    scol_b = scol_b + jnp.where(miss, at_b * bg[2], F(0.0))
-                    alive = alive & hit
-
-                    hx = ox + t * dx
-                    hy = oy + t * dy
-                    hz = oz + t * dz
-                    cr, cg, cb, ka, kd, ks, krefr, ior = fetch_mat(mat_c)
-
-                    loc_r = cr * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
-                    loc_g = cg * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
-                    loc_b = cb * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
-
-                    depth_f = F(float(depth))
-                    for li in range(L):
-                        lx, ly, lz = lights[li, 0], lights[li, 1], lights[li, 2]
-                        lpx = jnp.full((1, R), 1.0, F) * lx
-                        lpy = jnp.full((1, R), 1.0, F) * ly
-                        lpz = jnp.full((1, R), 1.0, F) * lz
-                        if cfg.enable_soft_shadows:
-                            jx_, jy_, jz_ = _ruv_planes(
-                                px + F(s * 9.0),
-                                py + F(s * 4.0) + depth_f,
-                                jnp.full((1, R), s, F),
-                            )
-                            lpx = lpx + jx_ * light_size
-                            lpy = lpy + jy_ * light_size
-                            lpz = lpz + jz_ * light_size
-
-                        tlx = lpx - hx
-                        tly = lpy - hy
-                        tlz = lpz - hz
-                        dist_l = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
-                        ldx, ldy, ldz = _rsqrt_planes(tlx, tly, tlz)
-                        ndl = jnp.maximum(F(0.0), nx * ldx + ny * ldy + nz * ldz)
-
-                        if cfg.enable_diffuse:
-                            shadow_active = alive & (ndl > F(0.0))
-                            state[13:14] = state[13:14] + shadow_active.astype(F)
-                            shx = hx + nx * OFFSET
-                            shy = hy + ny * OFFSET
-                            shz = hz + nz * OFFSET
-                            s_hit, s_t, *_ = traverse(
-                                shx, shy, shz, ldx, ldy, ldz, shadow_active,
-                                max_t=dist_l,
-                            )
-                            lit = (~s_hit) | (s_t > dist_l)
-
-                            gate = lit & (ndl > F(0.0)) & alive
-                            dr = cr * kd * ndl
-                            dg = cg * kd * ndl
-                            db = cb * kd * ndl
-                            if cfg.enable_specular:
-                                hvx, hvy, hvz = _rsqrt_planes(ldx - dx, ldy - dy, ldz - dz)
-                                spec = _pow32(
-                                    jnp.maximum(nx * hvx + ny * hvy + nz * hvz, F(0.0))
-                                )
-                                dr = dr + ks * spec
-                                dg = dg + ks * spec
-                                db = db + ks * spec
-                            if cfg.multi_light:
-                                lr, lg, lb = lights[li, 3], lights[li, 4], lights[li, 5]
-                                dr, dg, db = dr * lr, dg * lg, db * lb
-                            loc_r = loc_r + jnp.where(gate, dr, F(0.0))
-                            loc_g = loc_g + jnp.where(gate, dg, F(0.0))
-                            loc_b = loc_b + jnp.where(gate, db, F(0.0))
-
-                    scol_r = scol_r + jnp.where(alive, at_r * loc_r * intensity, F(0.0))
-                    scol_g = scol_g + jnp.where(alive, at_g * loc_g * intensity, F(0.0))
-                    scol_b = scol_b + jnp.where(alive, at_b * loc_b * intensity, F(0.0))
-                    state[9:10] = scol_r
-                    state[10:11] = scol_g
-                    state[11:12] = scol_b
-
-                    if depth == cfg.max_depth - 1:
-                        state[12:13] = jnp.zeros((1, R), F)
-                        return  # no secondary rays after the final bounce
-
-                    # ---- secondary ray (compute:420-455) ----
-                    should_reflect = ks > F(0.0)
-                    should_refract = (
-                        (krefr > F(0.0)) if cfg.enable_refraction else jnp.zeros((1, R), bool)
+                def _(depth=depth, s_plane=s_plane):
+                    bounce_core(
+                        cfg, uniforms, mats, lights, traverse, state, M, L,
+                        px, py, s_plane, F(float(depth)),
+                        is_last=depth == cfg.max_depth - 1,
                     )
-
-                    cos_in = dx * nx + dy * ny + dz * nz
-                    exiting = cos_in > F(0.0)
-                    fnx = jnp.where(exiting, -nx, nx)
-                    fny = jnp.where(exiting, -ny, ny)
-                    fnz = jnp.where(exiting, -nz, nz)
-                    eta = jnp.where(exiting, ior, F(1.0) / ior)
-                    cos = -(dx * fnx + dy * fny + dz * fnz)
-                    kk = F(1.0) - eta * eta * (F(1.0) - cos * cos)
-                    tir = kk < F(0.0)
-                    coef = eta * cos - jnp.sqrt(jnp.maximum(kk, F(0.0)))
-                    rfx = eta * dx + coef * fnx
-                    rfy = eta * dy + coef * fny
-                    rfz = eta * dz + coef * fnz
-                    # reflect about flipped normal (TIR) / plain normal
-                    dot_f = dx * fnx + dy * fny + dz * fnz
-                    tirx = dx - F(2.0) * dot_f * fnx
-                    tiry = dy - F(2.0) * dot_f * fny
-                    tirz = dz - F(2.0) * dot_f * fnz
-                    dot_p = cos_in
-                    rpx = dx - F(2.0) * dot_p * nx
-                    rpy = dy - F(2.0) * dot_p * ny
-                    rpz = dz - F(2.0) * dot_p * nz
-
-                    ndx = jnp.where(should_refract, jnp.where(tir, tirx, rfx), rpx)
-                    ndy = jnp.where(should_refract, jnp.where(tir, tiry, rfy), rpy)
-                    ndz = jnp.where(should_refract, jnp.where(tir, tirz, rfz), rpz)
-                    amr = jnp.where(should_refract, jnp.where(tir, cr * ks, cr * krefr), cr * ks)
-                    amg = jnp.where(should_refract, jnp.where(tir, cg * ks, cg * krefr), cg * ks)
-                    amb = jnp.where(should_refract, jnp.where(tir, cb * ks, cb * krefr), cb * ks)
-                    sox = jnp.where(
-                        should_refract,
-                        jnp.where(tir, hx + fnx * OFFSET, hx + rfx * OFFSET),
-                        hx + nx * OFFSET,
-                    )
-                    soy = jnp.where(
-                        should_refract,
-                        jnp.where(tir, hy + fny * OFFSET, hy + rfy * OFFSET),
-                        hy + ny * OFFSET,
-                    )
-                    soz = jnp.where(
-                        should_refract,
-                        jnp.where(tir, hz + fnz * OFFSET, hz + rfz * OFFSET),
-                        hz + nz * OFFSET,
-                    )
-
-                    if cfg.enable_glossy:
-                        gx_, gy_, gz_ = _ruv_planes(
-                            px + F(s * 55.0) + depth_f,
-                            py + F(s * 22.0),
-                            jnp.full((1, R), 13.0, F) * depth_f,
-                        )
-                        ndx = ndx + gx_ * roughness
-                        ndy = ndy + gy_ * roughness
-                        ndz = ndz + gz_ * roughness
-
-                    cont = alive & (should_reflect | should_refract)
-                    ndx, ndy, ndz = _rsqrt_planes(ndx, ndy, ndz)
-                    at_r = jnp.where(cont, at_r * amr, at_r)
-                    at_g = jnp.where(cont, at_g * amg, at_g)
-                    at_b = jnp.where(cont, at_b * amb, at_b)
-                    state[6:7] = at_r
-                    state[7:8] = at_g
-                    state[8:9] = at_b
-                    state[0:1] = jnp.where(cont, sox, ox)
-                    state[1:2] = jnp.where(cont, soy, oy)
-                    state[2:3] = jnp.where(cont, soz, oz)
-                    state[3:4] = jnp.where(cont, ndx, dx)
-                    state[4:5] = jnp.where(cont, ndy, dy)
-                    state[5:6] = jnp.where(cont, ndz, dz)
-                    max_at = jnp.maximum(jnp.maximum(at_r, at_g), at_b)
-                    state[12:13] = (cont & (max_at > F(0.0))).astype(F)
 
             acc_r = acc_r + state[9:10]
             acc_g = acc_g + state[10:11]
@@ -659,7 +208,7 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
         out_ref[0:1] = acc_r * inv_aa
         out_ref[1:2] = acc_g * inv_aa
         out_ref[2:3] = acc_b * inv_aa
-        out_ref[3:4] = state[13:14]
+        out_ref[3:4] = state[16:17]
 
     return kernel
 
@@ -739,7 +288,7 @@ def render_clusters(
         out_shape=jax.ShapeDtypeStruct((4, n_tiles * R), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((8, R), jnp.float32),      # best-hit state
-            pltpu.VMEM((16, R), jnp.float32),     # ray state (o,d,atten,col,alive,count)
+            pltpu.VMEM((STATE_ROWS, R), jnp.float32),  # ray state (kernel_core rows)
             pltpu.VMEM((1, C_pad), jnp.int32),    # cluster flags (vector)
             pltpu.SMEM((1, C_pad), jnp.int32),    # cluster flags (scalar)
             pltpu.SMEM((1, C_pad), jnp.int32),    # compacted hit list

@@ -198,6 +198,29 @@ def test_wavefront_matches_megakernel_exactly(scene1):
     np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_m))
     assert float(rays_w) == float(rays_m)
 
+def test_demo_cornell_three_backend_depth1():
+    """Primary-hit agreement on the STATUS.md silhouette case: with the
+    deterministic (t, global-tri-index) tie-break, depth-1 images agree
+    across all three backends to XLA-CPU fusion ULPs (<= 2e-6), with the
+    two Pallas backends bitwise identical. (At depth >= 2, ULP noise in
+    secondary-ray origins amplifies at silhouettes — a compiler-fusion
+    artifact measured identically at pre-refactor HEAD, not a traversal
+    order dependence; see STATUS.md.)"""
+    from cosig_tpu.ops import trace_wavefront
+
+    scene = load_scene("scenes/demo_cornell.txt")
+    st = cosig_tpu.RenderSettings(resolution_override=(200, 120), max_depth=1)
+    arrays = compile_scene(scene)
+    params = frame_params(scene, st)
+    cfg = static_config(scene, st)
+    ref = np.asarray(trace_xla.render_jit(arrays, params, cfg))
+    cs = build_clusters(arrays)
+    img_m, _ = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    img_w, _ = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_m))
+    assert np.abs(np.asarray(img_m) - ref).max() <= 2e-6
+
+
 def test_wavefront_prefix_ladder(scene1):
     """A frame big enough for a 3-level alive-prefix ladder (9 tiles ->
     levels {1, 3, 9}): deeper bounces dispatch shrinking prefixes and the
