@@ -52,14 +52,9 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     # lengths and taking the slope cancels ALL per-dispatch overhead —
     # which on tunneled TPUs is large, variable, and mode-dependent.
     if backend in ("pallas", "wavefront"):
-        from cosig_tpu.accel import clusters as _cl
-
         tris = extract_triangles(scene)
         mats = np.concatenate(materials_host(scene), axis=1)
         cset = build_clusters(arrays, tris=tris, mats_host=mats)
-
-        if backend == "wavefront" and int(cset.aabb_t.shape[1]) > _cl.CULL_BLOCK:
-            backend = "pallas"  # wavefront needs single-block scenes (VMEM)
 
         if backend == "wavefront":
             from cosig_tpu.ops import trace_wavefront
@@ -98,20 +93,19 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
             import dataclasses
 
             def body(carry, _):
-                (prev,) = carry
+                prev, acc = carry
                 # Carry-dependent zero keeps the render inside the loop
                 # (defeats while-loop invariant code motion).
                 p2 = dataclasses.replace(
                     params,
                     light_intensity=params.light_intensity + prev[0, 0, 0] * 0.0,
                 )
-                img = trace_xla.render_image(arrays, p2, cfg)
-                return (img,), None
+                img, rays = trace_xla.render_image(arrays, p2, cfg, with_rays=True)
+                return (img, acc + rays), None
 
-            (img,), _ = jax.lax.scan(
-                body, (trace_xla.render_image(arrays, params, cfg),), None, length=k - 1
-            )
-            return img, jnp.sum(img[:2, :2])
+            img0, rays0 = trace_xla.render_image(arrays, params, cfg, with_rays=True)
+            (img, total), _ = jax.lax.scan(body, (img0, rays0), None, length=k - 1)
+            return img, total
 
         chain = jax.jit(chain, static_argnames=("k",))
 
@@ -144,12 +138,9 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     total = t_k2
     n_frames = k2
 
-    if backend in ("pallas", "wavefront"):
-        rays = float(probe_val) / k2  # chain sums rays across k frames
-    else:
-        from cosig_tpu.render.renderer import estimate_rays
-
-        rays = float(estimate_rays(cfg))
+    # All backends count live rays honestly (chain sums across k frames):
+    # primary/secondary rays alive at each bounce + shadow rays cast.
+    rays = float(probe_val) / k2
     best = per_frame
     mrays = rays / best / 1e6
 

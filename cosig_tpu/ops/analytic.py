@@ -59,30 +59,55 @@ class AnalyticPrims:
         return cls(*children)
 
 
+def _instance_tables(scene: SceneData, prims):
+    """Host-side (numpy) inverse / inverse-transpose / material tables."""
+    if not prims:
+        return (
+            np.zeros((0, 3, 4), F), np.zeros((0, 3, 3), F),
+            np.zeros((0,), np.int32),
+        )
+    inv = np.stack(
+        [tf.inverse(tf.build_matrix(scene, p.transformation_index))[:3, :4] for p in prims]
+    ).astype(F)
+    nrm = np.stack(
+        [tf.normal_matrix(tf.build_matrix(scene, p.transformation_index))[:3, :3] for p in prims]
+    ).astype(F)
+    mat = np.array([p.material_index for p in prims], np.int32)
+    return inv, nrm, mat
+
+
 def compile_analytic(scene: SceneData) -> AnalyticPrims:
     """Build the instance tables from the parsed scene."""
-
-    def tables(prims):
-        if not prims:
-            return (
-                np.zeros((0, 3, 4), F), np.zeros((0, 3, 3), F),
-                np.zeros((0,), np.int32),
-            )
-        inv = np.stack(
-            [tf.inverse(tf.build_matrix(scene, p.transformation_index))[:3, :4] for p in prims]
-        ).astype(F)
-        nrm = np.stack(
-            [tf.normal_matrix(tf.build_matrix(scene, p.transformation_index))[:3, :3] for p in prims]
-        ).astype(F)
-        mat = np.array([p.material_index for p in prims], np.int32)
-        return inv, nrm, mat
-
-    s_inv, s_nrm, s_mat = tables(scene.spheres)
-    b_inv, b_nrm, b_mat = tables(scene.boxes)
+    s_inv, s_nrm, s_mat = _instance_tables(scene, scene.spheres)
+    b_inv, b_nrm, b_mat = _instance_tables(scene, scene.boxes)
     return AnalyticPrims(
         sph_inv=jnp.asarray(s_inv), sph_nrm=jnp.asarray(s_nrm), sph_mat=jnp.asarray(s_mat),
         box_inv=jnp.asarray(b_inv), box_nrm=jnp.asarray(b_nrm), box_mat=jnp.asarray(b_mat),
     )
+
+
+def pack_prims_host(scene: SceneData):
+    """Pack analytic instances for the Pallas kernels' SMEM table.
+
+    -> (table [P, 22] f32 numpy, n_sph, n_box): 12 inverse-matrix rows +
+    9 inverse-transpose rows + 1 material index per primitive, spheres
+    first. Always returns >= 1 row (zero pad) so kernel input shapes stay
+    non-empty. Host-side only — no device arrays touched (tunneled-TPU
+    readback hazard, CLAUDE.md)."""
+    rows = []
+    for prims in (scene.spheres, scene.boxes):
+        inv, nrm, mat = _instance_tables(scene, prims)
+        for i in range(inv.shape[0]):
+            rows.append(
+                np.concatenate(
+                    [inv[i].reshape(12), nrm[i].reshape(9),
+                     np.array([mat[i]], F)]
+                )
+            )
+    n_sph, n_box = len(scene.spheres), len(scene.boxes)
+    if not rows:
+        return np.zeros((1, 22), F), 0, 0
+    return np.stack(rows).astype(F), n_sph, n_box
 
 
 def _to_object(inv, o, d):

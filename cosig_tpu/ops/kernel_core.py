@@ -44,9 +44,18 @@ from cosig_tpu.ops import rng
 
 F = np.float32
 
+# Auto-stream geometry through HBM above this clustered-geometry size
+# (double-buffered per-cluster DMA; geometry-domain blocking).
+STREAM_THRESHOLD_BYTES = 6 * 1024 * 1024
+
 INF = F(3.402823466e38)
 EPSILON = F(1e-4)
 OFFSET = F(1e-2)
+
+# Tie-break ids for analytic primitives: above every triangle gid (< 2^24),
+# so primitives lose equal-t ties to triangles — the oracle's strict-< fold
+# (ops/analytic.py) — and spaced by 2 to stay f32-exact above 2^24.
+GID_SPH = F(2.0 ** 24 + 2)
 
 # uniforms layout (SMEM [UNIFORMS_LEN] f32)
 U_CAM = 0  # 12 floats: rows of the 3x4 camera->object matrix
@@ -124,7 +133,8 @@ def build_lights(params: FrameParams, multi_light: bool) -> jax.Array:
 def make_traverse(
     aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem, list_smem, sem,
     sbflag_vmem, sb_smem, C, C_pad, K, R,
-    gbuf=None, gsem=None, stream=False,
+    gbuf=None, gsem=None, stream=False, subpackets=1,
+    prims=None, n_sph=0, n_box=0,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -143,12 +153,42 @@ def make_traverse(
        formulation (ops/intersect.plucker_constants_host; same test and
        epsilons as the reference's Möller-Trumbore, compute:153-179).
 
+    ``subpackets=S`` (S > 1) is the TPU-shaped analog of the reference's
+    per-ray traversal granularity (``TraverseBVH``, compute:225-267, where
+    each ray visits only its own nodes): the tile's R rays are split into
+    S contiguous-lane sub-packets and the cull packs a *per-sub-packet*
+    visit bit into the flag row (same single flag DMA; the compacted list
+    entry becomes ``(cluster << 8) | mask``). The visit loop then runs the
+    intersection on each sub-packet's (K, R/S) lane slice only when its
+    bit is set — recovering the measured 1.5-2.3x pair-work inflation of
+    whole-packet culling (docs/subpacket_plan.md) at the cost of S scalar
+    branches per visited cluster. Results are bitwise identical to S=1 by
+    construction: skipped (ray, cluster) pairs are exactly those whose
+    inflated slab test fails for every ray in the sub-packet. The cull
+    also processes rays per sub-packet, cutting its largest temporaries
+    from (R, block) to (R/S, block).
+
     ``stream=True`` keeps geometry in HBM and double-buffers each visited
     cluster's (K, comps) block through ``gbuf``/``gsem`` (geometry-domain
     blocking, SURVEY.md section 5).
+
+    ``prims``/``n_sph``/``n_box``: analytic sphere/box instances (SMEM
+    table [P, 22]: 12 inverse-matrix + 9 inverse-transpose + 1 material
+    floats per primitive, spheres first) folded into the best-hit state
+    after the cluster visits — the in-kernel form of the reference's dead
+    CPU analytic path (HittableObjects.cs:83-108,182-224; see
+    ops/analytic.py for the XLA oracle). Primitives get tie-break ids
+    above every triangle gid, so they lose equal-t ties to triangles
+    exactly like the oracle's strict-less-than fold.
     """
     GB = cl.CULL_BLOCK
     n_blocks = max(1, C_pad // GB)
+    S = subpackets
+    assert R % S == 0 and S <= 8
+    RS = R // S
+    assert RS % 8 == 0  # sublane-aligned cull slices; lane-aligned MT needs
+    LANE_OK = RS % 128 == 0  # static lane slices must be 128-aligned
+    assert S == 1 or LANE_OK
 
     def traverse(ox, oy, oz, dx, dy, dz, active, max_t=None):
         best_ref[0:1] = jnp.full((1, R), INF, F)
@@ -167,6 +207,15 @@ def make_traverse(
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
 
+        if S > 1:
+            # Stage the per-ray planes in VMEM rows: the sub-packet MT
+            # reads 128-aligned lane windows of these rows as fresh ref
+            # loads. Slicing the live traced vectors instead produces
+            # lane-offset layouts Mosaic's broadcast rejects ("Invalid
+            # input layout" on vector<1xW> -> vector<KxW>).
+            for row, plane in enumerate((ox, oy, oz, dx, dy, dz, wx, wy, wz)):
+                best_ref[6 + row : 7 + row] = plane
+
         # ---- stage 1: vectorized cull ----
         oxc = ox.reshape(R, 1)
         oyc = oy.reshape(R, 1)
@@ -179,28 +228,38 @@ def make_traverse(
 
         def cull(b0, b1, b2, b3, b4, b5):
             """Slab test of the tile's rays vs a row of boxes -> flags
-            (1, W) i32. Inputs are the six AABB component rows."""
-            t0x = (b0 - oxc) * idxc
-            t1x = (b3 - oxc) * idxc
-            t0y = (b1 - oyc) * idyc
-            t1y = (b4 - oyc) * idyc
-            t0z = (b2 - ozc) * idzc
-            t1z = (b5 - ozc) * idzc
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z),
-            )
-            boxhit = (tn <= tf) & (tf >= F(0.0)) & (act > F(0.0))
-            if mt_col is not None:
-                # Shadow rays: boxes entered beyond the light distance
-                # cannot contain a hit closer than the light (t >= tn);
-                # `lit` treats miss and beyond-light hits identically.
-                boxhit = boxhit & (tn <= mt_col)
-            return jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
+            (1, W) i32: bit ``s`` set iff some ray of sub-packet ``s`` may
+            enter the box (S=1: plain 0/1). Inputs are the six AABB
+            component rows. Rays are processed one sub-packet (R/S
+            sublanes) at a time, which both produces the per-sub-packet
+            bits and bounds the slab temporaries at (R/S, W)."""
+            m = None
+            for sp in range(S):
+                rows = slice(sp * RS, (sp + 1) * RS)
+                t0x = (b0 - oxc[rows]) * idxc[rows]
+                t1x = (b3 - oxc[rows]) * idxc[rows]
+                t0y = (b1 - oyc[rows]) * idyc[rows]
+                t1y = (b4 - oyc[rows]) * idyc[rows]
+                t0z = (b2 - ozc[rows]) * idzc[rows]
+                t1z = (b5 - ozc[rows]) * idzc[rows]
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                boxhit = (tn <= tf) & (tf >= F(0.0)) & (act[rows] > F(0.0))
+                if mt_col is not None:
+                    # Shadow rays: boxes entered beyond the light distance
+                    # cannot contain a hit closer than the light (t >= tn);
+                    # `lit` treats miss and beyond-light hits identically.
+                    boxhit = boxhit & (tn <= mt_col[rows])
+                bit = jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
+                mb = bit if sp == 0 else bit << sp
+                m = mb if m is None else m | mb
+            return m
 
         if n_blocks == 1:
             flag_vmem[:, :] = cull(
@@ -216,7 +275,7 @@ def make_traverse(
 
                 @pl.when(f > 0)
                 def _():
-                    list_smem[0, n] = c
+                    list_smem[0, n] = c if S == 1 else (c << 8) | f
 
                 return n + jnp.where(f > 0, 1, 0)
 
@@ -265,7 +324,7 @@ def make_traverse(
 
                     @pl.when(fc > 0)
                     def _():
-                        list_smem[0, n2] = c
+                        list_smem[0, n2] = c if S == 1 else (c << 8) | fc
 
                     return n2 + jnp.where(fc > 0, 1, 0)
 
@@ -279,13 +338,29 @@ def make_traverse(
             n_hit = jax.lax.fori_loop(0, n_blocks, sb_compact, 0)
 
         # ---- stage 3: intersect only the hit clusters ----
+        def _cid(entry):
+            return entry if S == 1 else entry >> 8
+
+        # Per-sub-packet ray-plane windows, loaded ONCE per traversal
+        # (loop-invariant across cluster visits; loading inside the visit
+        # body would re-issue 9 loads per cluster).
+        sub_rays = None
+        if S > 1:
+            sub_rays = [
+                tuple(
+                    best_ref[r : r + 1, sp * RS : (sp + 1) * RS]
+                    for r in range(6, 15)
+                )
+                for sp in range(S)
+            ]
+
         if stream:
             # Geometry lives in HBM; double-buffer each visited cluster's
             # (K, comps) block through VMEM so the DMA for cluster i+1
             # overlaps the intersection of cluster i.
             def _gdma(i, slot):
                 return pltpu.make_async_copy(
-                    geom.at[list_smem[0, i]], gbuf.at[slot], gsem.at[slot]
+                    geom.at[_cid(list_smem[0, i])], gbuf.at[slot], gsem.at[slot]
                 )
 
             @pl.when(n_hit > 0)
@@ -293,6 +368,7 @@ def make_traverse(
                 _gdma(0, 0).start()
 
         def visit(i, _):
+            entry = list_smem[0, i]
             if stream:
                 slot = jax.lax.rem(i, 2)
 
@@ -303,73 +379,192 @@ def make_traverse(
                 _gdma(i, slot).wait()
                 g = gbuf[slot]  # (K, comps)
             else:
-                g = geom[list_smem[0, i]]  # (K, GEOM_COMPS)
-            # Plücker/edge-volume intersection on precomputed columns.
-            # The chain order mirrors intersect.moller_trumbore exactly.
+                g = geom[_cid(entry)]  # (K, GEOM_COMPS)
             gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
             nda = g[:, 6:7]
-            va = (
-                dx * g[:, 7:8] + dy * g[:, 8:9] + dz * g[:, 9:10]
-                + wx * g[:, 10:11] + wy * g[:, 11:12] + wz * g[:, 12:13]
-            )
-            vb = (
-                dx * g[:, 13:14] + dy * g[:, 14:15] + dz * g[:, 15:16]
-                + wx * g[:, 16:17] + wy * g[:, 17:18] + wz * g[:, 18:19]
-            )
-            vc = (
-                dx * g[:, 19:20] + dy * g[:, 20:21] + dz * g[:, 21:22]
-                + wx * g[:, 22:23] + wy * g[:, 23:24] + wz * g[:, 24:25]
-            )
-            s = dx * gnx + dy * gny + dz * gnz
-            ndo = ox * gnx + oy * gny + oz * gnz
-            inv_s = F(1.0) / s
-            t = (nda - ndo) * inv_s
-            u = vb * inv_s
-            v = vc * inv_s
-            valid = (
-                (jnp.abs(s) >= EPSILON)
-                & (va * s >= F(0.0))
-                & (vb * s >= F(0.0))
-                & (vc * s >= F(0.0))
-                & (t > EPSILON)
-            )
             gid = g[:, 35:36]
-            tm = jnp.where(valid, t, INF)
-            tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, R)
-            # Winner among equal-t rows: lowest global (soup) index — the
-            # deterministic lexicographic (t, gid) tie-break matching the
-            # XLA oracle's reduction order (first-occurrence argmin over
-            # soup blocks + strict < across blocks).
-            cand = jnp.where(tm == tmin, gid, cl.GID_PAD)
-            gmin = jnp.min(cand, axis=0, keepdims=True)
-            oh = ((tm == tmin) & (gid == gmin)).astype(F)
 
-            def sel(col):
-                return jnp.sum(oh * col, axis=0, keepdims=True)
+            def mt(off, w, rays9=None):
+                """Plücker/edge-volume intersection of this cluster's
+                (K, w) pair grid on the lane slice [off, off+w); updates
+                the best-hit rows on the same slice. The chain order
+                mirrors intersect.moller_trumbore exactly. ``rays9`` is
+                the sub-packet's pre-loaded ray-plane window tuple (see
+                the staging note in traverse)."""
+                if w == R:
+                    oxs, oys, ozs = ox, oy, oz
+                    dxs, dys, dzs = dx, dy, dz
+                    wxs, wys, wzs = wx, wy, wz
+                else:
+                    oxs, oys, ozs, dxs, dys, dzs, wxs, wys, wzs = rays9
+                va = (
+                    dxs * g[:, 7:8] + dys * g[:, 8:9] + dzs * g[:, 9:10]
+                    + wxs * g[:, 10:11] + wys * g[:, 11:12] + wzs * g[:, 12:13]
+                )
+                vb = (
+                    dxs * g[:, 13:14] + dys * g[:, 14:15] + dzs * g[:, 15:16]
+                    + wxs * g[:, 16:17] + wys * g[:, 17:18] + wzs * g[:, 18:19]
+                )
+                vc = (
+                    dxs * g[:, 19:20] + dys * g[:, 20:21] + dzs * g[:, 21:22]
+                    + wxs * g[:, 22:23] + wys * g[:, 23:24] + wzs * g[:, 24:25]
+                )
+                s = dxs * gnx + dys * gny + dzs * gnz
+                ndo = oxs * gnx + oys * gny + ozs * gnz
+                inv_s = F(1.0) / s
+                t = (nda - ndo) * inv_s
+                u = vb * inv_s
+                v = vc * inv_s
+                valid = (
+                    (jnp.abs(s) >= EPSILON)
+                    & (va * s >= F(0.0))
+                    & (vb * s >= F(0.0))
+                    & (vc * s >= F(0.0))
+                    & (t > EPSILON)
+                )
+                tm = jnp.where(valid, t, INF)
+                tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, w)
+                # Winner among equal-t rows: lowest global (soup) index —
+                # the deterministic lexicographic (t, gid) tie-break
+                # matching the XLA oracle's reduction order (first-
+                # occurrence argmin over soup blocks + strict < across
+                # blocks).
+                cand = jnp.where(tm == tmin, gid, cl.GID_PAD)
+                gmin = jnp.min(cand, axis=0, keepdims=True)
+                oh = ((tm == tmin) & (gid == gmin)).astype(F)
 
-            u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
-            v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
-            w_c = F(1.0) - u_c - v_c
-            nx = w_c * sel(g[:, 25:26]) + u_c * sel(g[:, 28:29]) + v_c * sel(g[:, 31:32])
-            ny = w_c * sel(g[:, 26:27]) + u_c * sel(g[:, 29:30]) + v_c * sel(g[:, 32:33])
-            nz = w_c * sel(g[:, 27:28]) + u_c * sel(g[:, 30:31]) + v_c * sel(g[:, 33:34])
-            mat_c = sel(g[:, 34:35])
+                def sel(col):
+                    return jnp.sum(oh * col, axis=0, keepdims=True)
 
-            # Lexicographic (t, gid) winner across clusters: the same
-            # triangle pair straddling two clusters (or two triangles
-            # sharing an edge) resolves identically in every backend.
-            better = (tmin < best_ref[0:1]) | (
-                (tmin == best_ref[0:1]) & (gmin < best_ref[5:6])
-            )
-            best_ref[0:1] = jnp.where(better, tmin, best_ref[0:1])
-            best_ref[1:2] = jnp.where(better, nx, best_ref[1:2])
-            best_ref[2:3] = jnp.where(better, ny, best_ref[2:3])
-            best_ref[3:4] = jnp.where(better, nz, best_ref[3:4])
-            best_ref[4:5] = jnp.where(better, mat_c, best_ref[4:5])
-            best_ref[5:6] = jnp.where(better, gmin, best_ref[5:6])
+                u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
+                v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
+                w_c = F(1.0) - u_c - v_c
+                nx = w_c * sel(g[:, 25:26]) + u_c * sel(g[:, 28:29]) + v_c * sel(g[:, 31:32])
+                ny = w_c * sel(g[:, 26:27]) + u_c * sel(g[:, 29:30]) + v_c * sel(g[:, 32:33])
+                nz = w_c * sel(g[:, 27:28]) + u_c * sel(g[:, 30:31]) + v_c * sel(g[:, 33:34])
+                mat_c = sel(g[:, 34:35])
+
+                # Lexicographic (t, gid) winner across clusters: the same
+                # triangle pair straddling two clusters (or two triangles
+                # sharing an edge) resolves identically in every backend.
+                def bref(row):
+                    if w == R:
+                        return best_ref[row : row + 1]
+                    return best_ref[row : row + 1, off : off + w]
+
+                def bset(row, val):
+                    if w == R:
+                        best_ref[row : row + 1] = val
+                    else:
+                        best_ref[row : row + 1, off : off + w] = val
+
+                bt = bref(0)
+                better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
+                for row, new in (
+                    (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
+                ):
+                    bset(row, jnp.where(better, new, bref(row)))
+
+            if S == 1:
+                mt(0, R)
+            else:
+                # Per-sub-packet visit bits: skip the (K, R/S) intersection
+                # for sub-packets whose every ray already failed the
+                # (inflated) slab test — the reference's per-ray traversal
+                # granularity, packet-shaped (compute:225-267).
+                for sp in range(S):
+                    @pl.when(((entry >> sp) & 1) > 0)
+                    def _(sp=sp):
+                        mt(sp * RS, RS, sub_rays[sp])
             return 0
 
         jax.lax.fori_loop(0, n_hit, visit, 0)
+
+        # ---- analytic primitive fold (optional) ----
+        def _prim_fold(p, gid_val, tp, nxw, nyw, nzw, valid):
+            """Fold one primitive's hits into the best-hit rows. World
+            normal = inverse-transpose x object normal (unnormalized; the
+            shared epilogue normalizes). Lexicographic (t, gid) with gid
+            above all triangles == the oracle's strict-< fold order."""
+            w = [prims[p, 12 + j] for j in range(9)]
+            wx_ = w[0] * nxw + w[1] * nyw + w[2] * nzw
+            wy_ = w[3] * nxw + w[4] * nyw + w[5] * nzw
+            wz_ = w[6] * nxw + w[7] * nyw + w[8] * nzw
+            tm = jnp.where(valid, tp, INF)
+            gid_p = jnp.full((1, R), gid_val, F)
+            bt = best_ref[0:1]
+            better = (tm < bt) | ((tm == bt) & (gid_p < best_ref[5:6]))
+            best_ref[0:1] = jnp.where(better, tm, bt)
+            best_ref[1:2] = jnp.where(better, wx_, best_ref[1:2])
+            best_ref[2:3] = jnp.where(better, wy_, best_ref[2:3])
+            best_ref[3:4] = jnp.where(better, wz_, best_ref[3:4])
+            best_ref[4:5] = jnp.where(better, prims[p, 21], best_ref[4:5])
+            best_ref[5:6] = jnp.where(better, gid_p, best_ref[5:6])
+
+        def _obj_ray(p):
+            m = [prims[p, j] for j in range(12)]
+            oxo = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+            oyo = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+            ozo = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+            dxo = m[0] * dx + m[1] * dy + m[2] * dz
+            dyo = m[4] * dx + m[5] * dy + m[6] * dz
+            dzo = m[8] * dx + m[9] * dy + m[10] * dz
+            return oxo, oyo, ozo, dxo, dyo, dzo
+
+        for p in range(n_sph):
+            # Unit sphere in object space (HittableObjects.cs:83-108;
+            # arithmetic mirrors intersect.intersect_unit_sphere). The
+            # object-space direction is NOT normalized, so t stays in
+            # world parameterization.
+            oxo, oyo, ozo, dxo, dyo, dzo = _obj_ray(p)
+            a = dxo * dxo + dyo * dyo + dzo * dzo
+            b = F(2.0) * (oxo * dxo + oyo * dyo + ozo * dzo)
+            c = oxo * oxo + oyo * oyo + ozo * ozo - F(1.0)
+            disc = b * b - F(4.0) * a * c
+            sq = jnp.sqrt(jnp.maximum(disc, F(0.0)))
+            t0 = (-b - sq) / (F(2.0) * a)
+            t1 = (-b + sq) / (F(2.0) * a)
+            tp = jnp.where(t0 > EPSILON, t0, t1)
+            valid = (disc >= F(0.0)) & (tp > EPSILON)
+            # Object normal = hit point on the unit sphere.
+            _prim_fold(
+                p, GID_SPH + 2.0 * p,
+                tp, oxo + tp * dxo, oyo + tp * dyo, ozo + tp * dzo, valid,
+            )
+
+        for q in range(n_box):
+            # Unit cube [-0.5, 0.5]^3 (HittableObjects.cs:182-224;
+            # mirrors intersect.intersect_unit_box incl. the argmax
+            # first-occurrence face pick).
+            p = n_sph + q
+            oxo, oyo, ozo, dxo, dyo, dzo = _obj_ray(p)
+            ix, iy, iz = F(1.0) / dxo, F(1.0) / dyo, F(1.0) / dzo
+            t0x = (F(-0.5) - oxo) * ix
+            t1x = (F(0.5) - oxo) * ix
+            t0y = (F(-0.5) - oyo) * iy
+            t1y = (F(0.5) - oyo) * iy
+            t0z = (F(-0.5) - ozo) * iz
+            t1z = (F(0.5) - ozo) * iz
+            t_en = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            t_ex = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            tp = jnp.where(t_en > EPSILON, t_en, t_ex)
+            valid = (t_en <= t_ex) & (t_ex > EPSILON) & (tp > EPSILON)
+            pxo = oxo + tp * dxo
+            pyo = oyo + tp * dyo
+            pzo = ozo + tp * dzo
+            ax, ay, az = jnp.abs(pxo), jnp.abs(pyo), jnp.abs(pzo)
+            is_x = (ax >= ay) & (ax >= az)
+            is_y = (~is_x) & (ay >= az)
+            nxo = jnp.where(is_x, jnp.sign(pxo), F(0.0))
+            nyo = jnp.where(is_y, jnp.sign(pyo), F(0.0))
+            nzo = jnp.where(is_x | is_y, F(0.0), jnp.sign(pzo))
+            _prim_fold(p, GID_SPH + 2.0 * p, tp, nxo, nyo, nzo, valid)
 
         t = best_ref[0:1]
         hit = t < INF

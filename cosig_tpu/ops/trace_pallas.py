@@ -77,23 +77,49 @@ F = np.float32
 TILE_W = 32
 TILE_H = 32
 
-# Auto-stream geometry through HBM above this clustered-geometry size.
-STREAM_THRESHOLD_BYTES = 6 * 1024 * 1024
+from cosig_tpu.ops.kernel_core import STREAM_THRESHOLD_BYTES  # noqa: F401
 
 STATE_ROWS = 24  # shared ray-state layout (kernel_core.bounce_core)
 
 
+def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
+    """Sub-packet layout for a tile -> (S, quad_rows, quad_cols).
+
+    Scene-adaptive like trace_wavefront._subpackets_for (masks only pay
+    where packet-granularity pair-work inflation is large, i.e. big
+    scenes; measured A/B in its docstring). Sub-packets are static lane
+    slices, so R/S must be a 128 multiple; quads must divide the tile
+    shape evenly. COSIG_SUBPACKETS forces a cap for A/B experiments."""
+    import os
+
+    env = os.environ.get("COSIG_SUBPACKETS")
+    cap = int(env) if env is not None else (4 if c_pad > cl.CULL_BLOCK else 1)
+    R = tile_h * tile_w
+    for S, sqh, sqw in ((4, 2, 2), (2, 2, 1)):
+        if (
+            S <= cap
+            and R % (S * 128) == 0
+            and tile_h % sqh == 0
+            and tile_w % sqw == 0
+        ):
+            return S, sqh, sqw
+    return 1, 1, 1
+
+
 def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, nbx: int,
-                 tile_w: int, tile_h: int, stream: bool):
+                 tile_w: int, tile_h: int, stream: bool, prim_counts=(0, 0)):
     """Build the megakernel body (all static config closed over)."""
 
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
     grid_w, grid_h = camera.aa_grid(aa)
     R = tile_w * tile_h
+    S, sqh, sqw = _subpacket_grid(tile_h, tile_w, C_pad)
+    qh, qw = tile_h // sqh, tile_w // sqw
+    n_sph, n_box = prim_counts
 
     def kernel(
-        uniforms, mats, lights, aabb_t, sb_aabb_t, geom,
+        uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom,
         out_ref, best_ref, state, flag_vmem, flags_smem, list_smem, sem,
         gbuf, gsem, sbflag_vmem, sb_smem,
     ):
@@ -102,8 +128,12 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
         by = tile // nbx
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
-        pxi = bx * tile_w + lane % tile_w
-        pyi = by * tile_h + lane // tile_w
+        # Quad-major pixel order: each R/S-lane sub-packet covers one
+        # compact (qh, qw) quad, tightening its cull footprint.
+        quad = lane // (qh * qw)
+        q = lane % (qh * qw)
+        pxi = bx * tile_w + (quad % sqw) * qw + q % qw
+        pyi = by * tile_h + (quad // sqw) * qh + q // qw
         px = pxi.astype(F)
         # Global pixel row: the shard's band offset (0 single-chip) keeps
         # the projection plane, RNG seeds and ray directions global.
@@ -121,7 +151,8 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
         traverse = make_traverse(
             aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
-            gbuf=gbuf, gsem=gsem, stream=stream,
+            gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
+            prims=prims, n_sph=n_sph, n_box=n_box,
         )
 
         # ------------------------------------------------------------------
@@ -222,6 +253,8 @@ def render_clusters(
     rows: int = None,
     row_offset=0.0,
     stream: bool = None,
+    prims=None,
+    prim_counts=(0, 0),
 ):
     """Render via the megakernel -> (image [rows, W, 3] f32 row-0-bottom,
     rays_traced scalar f32).
@@ -233,7 +266,11 @@ def render_clusters(
 
     ``stream``: keep geometry in HBM and double-buffer visited clusters
     through VMEM (for scenes beyond the VMEM budget); default: auto by
-    geometry size."""
+    geometry size.
+
+    ``prims``/``prim_counts``: analytic sphere/box instance table
+    (ops/analytic.pack_prims_host) folded in-kernel after the cluster
+    visits (analytic geometry mode)."""
     C_pad_pre = int(cset.aabb_t.shape[1])
     if tile is None:
         # Large packets amortize per-traversal overhead, but multi-block
@@ -258,7 +295,11 @@ def render_clusters(
 
     if stream is None:
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
-    kernel = _make_kernel(cfg, C, C_pad, K, M, L, nbx, tile_w, tile_h, stream)
+    if prims is None:
+        prims = jnp.zeros((1, 22), jnp.float32)
+    kernel = _make_kernel(
+        cfg, C, C_pad, K, M, L, nbx, tile_w, tile_h, stream, prim_counts
+    )
     geom_in = cset.geom
     if stream:
         # HBM slices DMA'd per cluster must have a 128-aligned last dim;
@@ -276,6 +317,7 @@ def render_clusters(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mats
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # analytic prims
             pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -287,7 +329,7 @@ def render_clusters(
         out_specs=pl.BlockSpec((4, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n_tiles * R), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, R), jnp.float32),      # best-hit state
+            pltpu.VMEM((16, R), jnp.float32),     # best-hit state + staged ray planes
             pltpu.VMEM((STATE_ROWS, R), jnp.float32),  # ray state (kernel_core rows)
             pltpu.VMEM((1, C_pad), jnp.int32),    # cluster flags (vector)
             pltpu.SMEM((1, C_pad), jnp.int32),    # cluster flags (scalar)
@@ -299,12 +341,15 @@ def render_clusters(
             pltpu.SMEM((1, 128), jnp.int32),      # superblock flags (scalar)
         ],
         interpret=interpret,
-    )(uniforms, cset.mats, lights, cset.aabb_t, cset.sb_aabb_t, geom_in)
+    )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
 
-    # Un-tile: [4, nby, nbx, tile_h, tile_w] -> [H, W, 4]; rgb + ray count.
+    # Un-tile (quad-major lane order, see _make_kernel):
+    # [4, nby, nbx, sqh, sqw, qh, qw] -> [H, W, 4]; rgb + ray count.
+    _, sqh, sqw = _subpacket_grid(tile_h, tile_w, C_pad)
+    qh, qw = tile_h // sqh, tile_w // sqw
     full = (
-        out.reshape(4, nby, nbx, tile_h, tile_w)
-        .transpose(1, 3, 2, 4, 0)
+        out.reshape(4, nby, nbx, sqh, sqw, qh, qw)
+        .transpose(1, 3, 5, 2, 4, 6, 0)
         .reshape(nby * tile_h, nbx * tile_w, 4)
     )
     img = full[:band, :width, :3]
@@ -312,10 +357,176 @@ def render_clusters(
     return img, rays
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "tile"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "tile", "prim_counts")
+)
 def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False,
-               tile: tuple = None):
-    return render_clusters(cset, params, cfg, interpret, tile)
+               tile: tuple = None, prims=None, prim_counts=(0, 0)):
+    return render_clusters(
+        cset, params, cfg, interpret, tile, prims=prims, prim_counts=prim_counts
+    )
+
+
+def _make_debug_kernel(cfg: StaticConfig, C, C_pad, K, nbx,
+                       tile_w, tile_h, stream, prim_counts):
+    """Debug visualization kernel: one center ray per pixel, one traversal,
+    mode 1=depth 2=normals 3=hit (compute:484-508). The reference always
+    shoots a *perspective* center ray here regardless of the ortho toggle
+    (preserved, like trace_xla.debug_pixels)."""
+    width, height = cfg.width, cfg.height
+    R = tile_w * tile_h
+    S, sqh, sqw = _subpacket_grid(tile_h, tile_w, C_pad)
+    qh, qw = tile_h // sqh, tile_w // sqw
+    n_sph, n_box = prim_counts
+
+    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom,
+               out_ref, best_ref, flag_vmem, flags_smem, list_smem, sem,
+               gbuf, gsem, sbflag_vmem, sb_smem):
+        tile = pl.program_id(0)
+        bx = tile % nbx
+        by = tile // nbx
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+        quad = lane // (qh * qw)
+        q = lane % (qh * qw)
+        pxi = bx * tile_w + (quad % sqw) * qw + q % qw
+        pyi = by * tile_h + (quad // sqw) * qh + q // qw
+        px = pxi.astype(F)
+        py = pyi.astype(F) + uniforms[U_ROW_OFF]
+
+        cam = [uniforms[U_CAM + i] for i in range(12)]
+        dist = uniforms[U_DIST]
+        plane_h = uniforms[U_PLANE_H]
+        plane_w = plane_h * F(width / height)
+
+        half = jnp.full((1, R), 0.5, F)
+        u = ((px + half) / F(width) - F(0.5)) * plane_w
+        v = ((py + half) / F(height) - F(0.5)) * plane_h
+        ocz = jnp.full((1, R), 1.0, F) * dist
+        dcx, dcy, dcz = _rsqrt_planes(u, v, -ocz)
+        ox = cam[2] * ocz + cam[3]
+        oy = cam[6] * ocz + cam[7]
+        oz = cam[10] * ocz + cam[11]
+        dx = cam[0] * dcx + cam[1] * dcy + cam[2] * dcz
+        dy = cam[4] * dcx + cam[5] * dcy + cam[6] * dcz
+        dz = cam[8] * dcx + cam[9] * dcy + cam[10] * dcz
+        dx, dy, dz = _rsqrt_planes(dx, dy, dz)
+
+        traverse = make_traverse(
+            aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
+            list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
+            gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
+            prims=prims, n_sph=n_sph, n_box=n_box,
+        )
+        hit, t, nx, ny, nz, _ = traverse(
+            ox, oy, oz, dx, dy, dz, jnp.ones((1, R), bool)
+        )
+        if cfg.debug_mode == 1:
+            g = t / F(100.0)
+            r_ = jnp.where(hit, g, F(1.0))
+            g_ = jnp.where(hit, g, F(0.0))
+            b_ = jnp.where(hit, g, F(0.0))
+        elif cfg.debug_mode == 2:
+            r_ = jnp.where(hit, nx * F(0.5) + F(0.5), F(0.0))
+            g_ = jnp.where(hit, ny * F(0.5) + F(0.5), F(0.0))
+            b_ = jnp.where(hit, nz * F(0.5) + F(0.5), F(1.0))
+        else:
+            r_ = jnp.where(hit, F(0.0), F(0.2))
+            g_ = jnp.where(hit, F(1.0), F(0.2))
+            b_ = jnp.where(hit, F(0.0), F(0.2))
+        out_ref[0:1] = r_
+        out_ref[1:2] = g_
+        out_ref[2:3] = b_
+        out_ref[3:4] = jnp.ones((1, R), F)
+
+    return kernel
+
+
+def render_debug(
+    cset: cl.ClusterSet,
+    params: FrameParams,
+    cfg: StaticConfig,
+    interpret: bool = False,
+    tile: tuple = None,
+    prims=None,
+    prim_counts=(0, 0),
+):
+    """In-kernel debug visualization -> (image [H, W, 3], rays scalar)."""
+    C_pad_pre = int(cset.aabb_t.shape[1])
+    if tile is None:
+        tile = (TILE_H, TILE_W) if C_pad_pre <= cl.CULL_BLOCK else (16, 16)
+    tile_h, tile_w = tile
+    R = tile_w * tile_h
+    width, height = cfg.width, cfg.height
+    nbx = -(-width // tile_w)
+    nby = -(-height // tile_h)
+    n_tiles = nbx * nby
+    C, K = cset.num_clusters, cset.k
+    C_pad = int(cset.aabb_t.shape[1])
+    uniforms = build_uniforms(params)
+    lights = build_lights(params, cfg.multi_light)
+    stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
+    if prims is None:
+        prims = jnp.zeros((1, 22), jnp.float32)
+    geom_in = cset.geom
+    if stream:
+        geom_in = jnp.pad(
+            cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS))
+        )
+    kernel = _make_debug_kernel(
+        cfg, C, C_pad, K, nbx, tile_w, tile_h, stream, prim_counts
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                memory_space=pltpu.HBM
+            ) if stream else pl.BlockSpec(
+                (C, K, cl.GEOM_COMPS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((4, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_tiles * R), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((16, R), jnp.float32),
+            pltpu.VMEM((1, C_pad), jnp.int32),
+            pltpu.SMEM((1, C_pad), jnp.int32),
+            pltpu.SMEM((1, C_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.SMEM((1, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
+
+    _, sqh, sqw = _subpacket_grid(tile_h, tile_w, C_pad)
+    qh, qw = tile_h // sqh, tile_w // sqw
+    full = (
+        out.reshape(4, nby, nbx, sqh, sqw, qh, qw)
+        .transpose(1, 3, 5, 2, 4, 6, 0)
+        .reshape(nby * tile_h, nbx * tile_w, 4)
+    )
+    img = full[:height, :width, :3]
+    rays = jnp.sum(full[:height, :width, 3])
+    return img, rays
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "tile", "prim_counts")
+)
+def render_debug_jit(cset, params, cfg: StaticConfig, interpret: bool = False,
+                     tile: tuple = None, prims=None, prim_counts=(0, 0)):
+    return render_debug(
+        cset, params, cfg, interpret, tile, prims=prims, prim_counts=prim_counts
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "interpret"))

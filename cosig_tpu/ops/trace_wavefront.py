@@ -17,14 +17,17 @@ tile are dead. This module restructures the pipeline the wavefront way
 
 Ray state layout (f32 rows x N rays):
 0-2 origin, 3-5 direction, 6-8 attenuation, 9-11 color, 12 alive,
-13 px, 14 py, 15 sample index, 16 rays-traced count, 17 ray id,
-18-23 pad (8-row tiling).
+13 px, 14 py, 15 sample index, 16 rays-traced count,
+17-23 pad (8-row tiling).
 
 Shading physics is the same quirk-preserving plane arithmetic as the
 megakernel (see trace_pallas.py / ops/shade.py); RNG seeds take px/py/
 sample from state rows, so images match the megakernel and the XLA oracle
-to fp32 ULPs. Geometry handling reuses the cluster structures; VMEM-
-resident only (huge scenes keep using the megakernel's streaming path).
+to fp32 ULPs. Geometry handling reuses the cluster structures at every
+scene size: multi-block scenes go through the shared hierarchical cull
+and geometry beyond the VMEM budget streams from HBM (both in
+kernel_core.make_traverse), so the wavefront path never demotes to the
+megakernel.
 """
 
 from __future__ import annotations
@@ -41,11 +44,13 @@ from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams, StaticConfig
 from cosig_tpu.ops import camera, rng
 from cosig_tpu.ops.kernel_core import (
+    STREAM_THRESHOLD_BYTES,
     U_CAM,
     U_DEPTH,
     U_DIST,
     U_ORTHO,
     U_PLANE_H,
+    U_ROW_OFF,
     U_SHUTTER,
     _rsqrt_planes,
     _ruv_planes,
@@ -61,35 +66,69 @@ R = 1024  # rays per packed tile
 ROWS = 24  # state rows (see module docstring)
 
 
+def _subpackets_for(c_pad: int) -> int:
+    """Sub-packet visit-mask count (kernel_core.make_traverse).
+
+    Scene-adaptive, from the measured same-window A/B (glass 1024x1024 d6
+    aa4: S=1 92.5 / S=2 93.5 / S=4 87.2 Mrays/s): small scenes visit few
+    clusters per packet with high sub-packet occupancy (~0.8 on glass), so
+    the S scalar branches per visited cluster cost more than the skipped
+    (K, R/S) intersections save — masks OFF. Large (multi-block) scenes
+    have 2-3x pair-work inflation at packet granularity (large_mesh visits
+    14.5 clusters/packet vs 6.3 at 8x8 sub-packets, tools/cull_stats.py)
+    — masks ON. COSIG_SUBPACKETS forces a value for A/B experiments."""
+    import os
+
+    env = os.environ.get("COSIG_SUBPACKETS")
+    if env is not None:
+        return int(env)
+    return 4 if c_pad > cl.CULL_BLOCK else 1
+
+
 def _primary_block(aa: int):
-    """Pixel-block shape (bh, bw) such that bh*bw*aa == R."""
+    """Pixel-block shape (bh, bw) such that bh*bw*aa == R.
+
+    Blocks split into a 2x2 grid of quads, one per 256-lane sub-packet
+    (SUBPACKETS=4), so each sub-packet's cull footprint is spatially
+    compact — e.g. 8x8 px at aa=4, the granularity whose cull tightness
+    was measured in docs/subpacket_plan.md."""
     return {1: (32, 32), 2: (16, 32), 4: (16, 16), 8: (8, 16)}[aa]
 
 
-def _make_primary_kernel(cfg: StaticConfig, dims, nbx, n_real):
+def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
+                         prim_counts=(0, 0), subpackets=1):
     C, C_pad, K, M, L = dims
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
     grid_w, grid_h = camera.aa_grid(aa)
     bh, bw = _primary_block(aa)
+    n_sph, n_box = prim_counts
 
-    def kernel(uniforms, mats, lights, aabb_t, sb_aabb_t, geom, state,
+    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom, state,
                best_ref, flag_vmem, flags_smem, list_smem, sem,
-               sbflag_vmem, sb_smem):
+               sbflag_vmem, sb_smem, gbuf, gsem):
         tile = pl.program_id(0)
         bx = tile % nbx
         by = tile // nbx
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
-        # lane -> (pixel-in-block, sample): consecutive aa lanes share a pixel.
+        # lane -> (pixel-in-block, sample): consecutive aa lanes share a
+        # pixel; pixels are quad-major (2x2 quads of (bh/2, bw/2), one per
+        # 256-lane sub-packet) so sub-packet cull footprints are compact.
         s_i = lane % aa
         p_i = lane // aa
-        pxi = bx * bw + p_i % bw
-        pyi = by * bh + p_i // bw
+        qh, qw = bh // 2, bw // 2
+        ppq = qh * qw  # pixels per quad
+        quad = p_i // ppq
+        q = p_i % ppq
+        pxi = bx * bw + (quad % 2) * qw + q % qw
+        pyi = by * bh + (quad // 2) * qh + q // qw
         px = pxi.astype(F)
-        py = pyi.astype(F)
+        # Global pixel row: the shard's band offset (0 single-chip) keeps
+        # the projection plane and RNG seeds global (multi-chip row bands).
+        py = pyi.astype(F) + uniforms[U_ROW_OFF]
         s_plane = s_i.astype(F)
-        in_image = (pxi < width) & (pyi < height)
+        in_image = (pxi < width) & (pyi < band) & (py < F(height))
 
         cam = [uniforms[U_CAM + i] for i in range(12)]
         dist = uniforms[U_DIST]
@@ -152,16 +191,13 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, n_real):
         state[13:14] = px
         state[14:15] = py
         state[15:16] = s_plane
-        state[16:17] = jnp.zeros((1, R), F)
-        # Ray id: (py*W + px)*aa + s for real rays; dead padding rays get
-        # the overflow slot n_real.
-        rid = (pyi * width + pxi) * aa + s_i
-        state[17:18] = jnp.where(in_image, rid, n_real).astype(F)
-        state[18:24] = jnp.zeros((6, R), F)
+        state[16:24] = jnp.zeros((8, R), F)
 
         traverse = make_traverse(
             aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
+            gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
+            prims=prims, n_sph=n_sph, n_box=n_box,
         )
         bounce_core(
             cfg, uniforms, mats, lights, traverse, state, M, L,
@@ -171,12 +207,14 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, n_real):
     return kernel
 
 
-def _make_bounce_kernel(cfg: StaticConfig, dims, is_last: bool):
+def _make_bounce_kernel(cfg: StaticConfig, dims, is_last: bool, stream,
+                        prim_counts=(0, 0), subpackets=1):
     C, C_pad, K, M, L = dims
+    n_sph, n_box = prim_counts
 
-    def kernel(uniforms, mats, lights, aabb_t, sb_aabb_t, geom, state_in,
+    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom, state_in,
                state_out, best_ref, flag_vmem, flags_smem, list_smem, sem,
-               sbflag_vmem, sb_smem, state):
+               sbflag_vmem, sb_smem, gbuf, gsem, state):
         state[:, :] = state_in[:, :]
         any_alive = jnp.sum(state[12:13]) > F(0.0)
 
@@ -188,6 +226,8 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, is_last: bool):
             traverse = make_traverse(
                 aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
                 list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
+                gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
+                prims=prims, n_sph=n_sph, n_box=n_box,
             )
             bounce_core(
                 cfg, uniforms, mats, lights, traverse, state, M, L,
@@ -245,55 +285,86 @@ def render_wavefront(
     params: FrameParams,
     cfg: StaticConfig,
     interpret: bool = False,
+    stream: bool = None,
+    rows: int = None,
+    row_offset=0.0,
+    prims=None,
+    prim_counts=(0, 0),
 ):
-    """Render via wavefront stages -> (image [H, W, 3], rays_traced)."""
+    """Render via wavefront stages -> (image [rows, W, 3], rays_traced).
+
+    ``stream``: keep geometry in HBM and double-buffer visited clusters
+    through VMEM (scenes beyond the VMEM budget); default: auto by
+    geometry size. Multi-block scenes use the shared hierarchical cull
+    (kernel_core.make_traverse), so arbitrary scene sizes run wavefront.
+
+    ``rows``/``row_offset`` restrict rendering to a global row band
+    (framebuffer sharding); the projection plane and RNG seeds always use
+    the global cfg dimensions."""
     width, height = cfg.width, cfg.height
+    band = height if rows is None else rows
     aa = max(1, cfg.aa_samples)
     bh, bw = _primary_block(aa)
     nbx = -(-width // bw)
-    nby = -(-height // bh)
+    nby = -(-band // bh)
     n_tiles = nbx * nby
     n_pad = n_tiles * R
-    n_real = width * height * aa
 
     C, K = cset.num_clusters, cset.k
     C_pad = int(cset.aabb_t.shape[1])
-    uniforms = build_uniforms(params)
+    uniforms = build_uniforms(params, jnp.asarray(row_offset, jnp.float32))
     lights = build_lights(params, cfg.multi_light)
     L = int(lights.shape[0])
     M = int(cset.mats.shape[0])
     dims = (C, C_pad, K, M, L)
 
+    if stream is None:
+        stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
+    if prims is None:
+        prims = jnp.zeros((1, 22), jnp.float32)
+    geom_in = cset.geom
+    if stream:
+        # HBM slices DMA'd per cluster need a 128-aligned last dim.
+        geom_in = jnp.pad(cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS)))
+
     scratch = [
-        pltpu.VMEM((8, R), jnp.float32),
+        pltpu.VMEM((16, R), jnp.float32),  # best-hit state + staged ray planes
         pltpu.VMEM((1, C_pad), jnp.int32),
         pltpu.SMEM((1, C_pad), jnp.int32),
         pltpu.SMEM((1, C_pad), jnp.int32),
         pltpu.SemaphoreType.DMA,
         pltpu.VMEM((1, 128), jnp.int32),
         pltpu.SMEM((1, 128), jnp.int32),
+        pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     geom_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms
         pl.BlockSpec(memory_space=pltpu.SMEM),  # mats
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # analytic prims
         pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
+            memory_space=pltpu.HBM
+        ) if stream else pl.BlockSpec(
             (C, K, cl.GEOM_COMPS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
     ]
 
+    subpackets = _subpackets_for(C_pad)
+
     # ---- primary stage ----
     state = pl.pallas_call(
-        _make_primary_kernel(cfg, dims, nbx, n_real),
+        _make_primary_kernel(cfg, dims, nbx, band, stream, prim_counts,
+                             subpackets),
         grid=(n_tiles,),
         in_specs=geom_specs,
         out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(uniforms, cset.mats, lights, cset.aabb_t, cset.sb_aabb_t, cset.geom)
+    )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
 
     # ---- bounce stages with compaction between ----
     # Alive groups are compacted to a prefix, so the bounce kernel only
@@ -310,7 +381,8 @@ def render_wavefront(
     lv_arr = jnp.array(levels, jnp.int32)
 
     def make_bounce(depth: int, is_last: bool):
-        kernel = _make_bounce_kernel(cfg, dims, is_last)
+        kernel = _make_bounce_kernel(cfg, dims, is_last, stream, prim_counts,
+                                     subpackets)
         uni_d = uniforms.at[U_DEPTH].set(jnp.float32(depth))
 
         def run_prefix(st, pt):
@@ -327,8 +399,8 @@ def render_wavefront(
                 out_shape=jax.ShapeDtypeStruct((ROWS, P), jnp.float32),
                 scratch_shapes=scratch + [pltpu.VMEM((ROWS, R), jnp.float32)],
                 interpret=interpret,
-            )(uni_d, cset.mats, lights, cset.aabb_t, cset.sb_aabb_t,
-              cset.geom, sub)
+            )(uni_d, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
+              geom_in, sub)
             return jax.lax.dynamic_update_slice(st, out, (0, 0))
 
         def at_extent(st, gp, ext_tiles):
@@ -364,12 +436,14 @@ def render_wavefront(
     g_total = n_pad // GROUP
     inv = jnp.argsort(group_perm)
     state = state.reshape(ROWS, g_total, GROUP)[:, inv, :].reshape(ROWS, n_pad)
-    # Ray enumeration (primary kernel): tile-major (nby, nbx), then pixel
-    # row-major within the (bh, bw) block, then AA sample.
-    colors = state[9:12].reshape(3, nby, nbx, bh, bw, aa)
+    # Ray enumeration (primary kernel): tile-major (nby, nbx), then quad-
+    # major (2x2 quads of (bh/2, bw/2)) pixels within the block, row-major
+    # within a quad, then AA sample.
+    qh, qw = bh // 2, bw // 2
+    colors = state[9:12].reshape(3, nby, nbx, 2, 2, qh, qw, aa)
     img = (
-        colors.transpose(0, 1, 3, 2, 4, 5)
-        .reshape(3, nby * bh, nbx * bw, aa)[:, :height, :width, :]
+        colors.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        .reshape(3, nby * bh, nbx * bw, aa)[:, :band, :width, :]
         .mean(axis=3)
         .transpose(1, 2, 0)
     )
@@ -377,6 +451,12 @@ def render_wavefront(
     return img, rays
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False):
-    return render_wavefront(cset, params, cfg, interpret)
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "stream", "prim_counts")
+)
+def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False,
+               stream: bool = None, prims=None, prim_counts=(0, 0)):
+    return render_wavefront(
+        cset, params, cfg, interpret, stream,
+        prims=prims, prim_counts=prim_counts,
+    )

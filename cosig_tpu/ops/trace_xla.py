@@ -52,7 +52,10 @@ def trace_sample(
     sample_idx: int,
     closest_hit: Callable[..., Hit],
 ):
-    """Trace one AA sample for a batch of pixels -> color [N, 3].
+    """Trace one AA sample for a batch of pixels -> (color [N, 3],
+    rays [N]): per-pixel color and the live-ray count (primary/secondary
+    rays alive at each bounce + shadow rays actually cast), mirroring the
+    kernels' honest counting (kernel_core.bounce_core state row 16).
 
     Follows compute:296-473 statement-for-statement (see shade.py for the
     preserved quirks)."""
@@ -77,10 +80,12 @@ def trace_sample(
     color = jnp.zeros((n, 3), F)
     atten = jnp.ones((n, 3), F)
     alive = jnp.ones((n,), bool)
+    rays = jnp.zeros((n,), F)
     num_lights = int(params.light_pos.shape[0]) if cfg.multi_light else 1
 
     def bounce(depth, carry):
-        o, d, atten, color, alive = carry
+        o, d, atten, color, alive, rays = carry
+        rays = rays + alive.astype(F)
         h = closest_hit(scene, o, d)
 
         # Miss: add attenuation-weighted background once, then die
@@ -114,6 +119,7 @@ def trace_sample(
             n_dot_l = jnp.maximum(F(0.0), _dot(h.normal, light_dir))
 
             if cfg.enable_diffuse:
+                rays = rays + (alive & (n_dot_l > F(0.0))).astype(F)
                 shadow_o = h.position + h.normal * OFFSET
                 sh = closest_hit(scene, shadow_o, light_dir)
                 lit = (~sh.hit) | (sh.t > dist_to_light)
@@ -147,12 +153,12 @@ def trace_sample(
         d = jnp.where(cont[:, None], normalize(next_dir), d)
         # Exact-zero attenuation contributes nothing downstream; kill it.
         cont = cont & (jnp.max(atten, axis=-1) > F(0.0))
-        return o, d, atten, color, cont
+        return o, d, atten, color, cont, rays
 
-    _, _, _, color, _ = jax.lax.fori_loop(
-        0, cfg.max_depth, bounce, (o, d, atten, color, alive)
+    _, _, _, color, _, rays = jax.lax.fori_loop(
+        0, cfg.max_depth, bounce, (o, d, atten, color, alive, rays)
     )
-    return color
+    return color, rays
 
 
 def trace_pixels(
@@ -163,11 +169,15 @@ def trace_pixels(
     py,
     closest_hit: Callable[..., Hit] = closest_hit_brute,
 ):
-    """Average ``cfg.aa_samples`` traced samples per pixel -> [N, 3]."""
+    """Average ``cfg.aa_samples`` traced samples per pixel ->
+    (color [N, 3], rays [N] summed across samples)."""
     accum = jnp.zeros((px.shape[0], 3), F)
+    rays = jnp.zeros((px.shape[0],), F)
     for i in range(cfg.aa_samples):
-        accum = accum + trace_sample(scene, params, cfg, px, py, i, closest_hit)
-    return accum / F(cfg.aa_samples)
+        c, r = trace_sample(scene, params, cfg, px, py, i, closest_hit)
+        accum = accum + c
+        rays = rays + r
+    return accum / F(cfg.aa_samples), rays
 
 
 def debug_pixels(
@@ -190,17 +200,28 @@ def debug_pixels(
         params.ortho_size, False,
     )
     h = closest_hit(scene, o, d)
+    rays = jnp.ones((px.shape[0],), F)
     if cfg.debug_mode == 1:
         gray = (h.t / F(100.0))[:, None] * jnp.ones(3, F)
-        return jnp.where(h.hit[:, None], gray, jnp.array([1.0, 0.0, 0.0], F))
-    if cfg.debug_mode == 2:
-        return jnp.where(
-            h.hit[:, None], h.normal * F(0.5) + F(0.5), jnp.array([0.0, 0.0, 1.0], F)
+        return (
+            jnp.where(h.hit[:, None], gray, jnp.array([1.0, 0.0, 0.0], F)),
+            rays,
         )
-    return jnp.where(
-        h.hit[:, None],
-        jnp.array([0.0, 1.0, 0.0], F),
-        jnp.array([0.2, 0.2, 0.2], F),
+    if cfg.debug_mode == 2:
+        return (
+            jnp.where(
+                h.hit[:, None], h.normal * F(0.5) + F(0.5),
+                jnp.array([0.0, 0.0, 1.0], F),
+            ),
+            rays,
+        )
+    return (
+        jnp.where(
+            h.hit[:, None],
+            jnp.array([0.0, 1.0, 0.0], F),
+            jnp.array([0.2, 0.2, 0.2], F),
+        ),
+        rays,
     )
 
 
@@ -212,9 +233,11 @@ def render_image(
     pixel_tile: int = DEFAULT_PIXEL_TILE,
     row_offset=0,
     rows: int = None,
+    with_rays: bool = False,
 ):
     """Render frame rows [row_offset, row_offset+rows) -> [rows, W, 3] f32,
-    row 0 at the bottom of the global image.
+    row 0 at the bottom of the global image; with ``with_rays`` returns
+    (image, live-ray count) — the same honest counting as the kernels.
 
     ``rows``/``row_offset`` support framebuffer sharding: the projection
     plane always uses the GLOBAL cfg.width/cfg.height, only the rendered
@@ -240,10 +263,13 @@ def render_image(
         tpx, tpy = args
         return fn(scene, params, cfg, tpx, tpy, closest_hit)
 
-    out = jax.lax.map(
+    out, rays = jax.lax.map(
         tile_fn, (px.reshape(-1, tile), py.reshape(-1, tile))
-    ).reshape(-1, 3)
-    return out[:n].reshape(h, w, 3)
+    )
+    img = out.reshape(-1, 3)[:n].reshape(h, w, 3)
+    if with_rays:
+        return img, jnp.sum(rays.reshape(-1)[:n])
+    return img
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pixel_tile"))

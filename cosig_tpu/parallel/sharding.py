@@ -128,6 +128,45 @@ def render_sharded_pallas(
     return img[: cfg.height], jnp.sum(rays)
 
 
+def render_sharded_wavefront(
+    cset,
+    params: FrameParams,
+    cfg: StaticConfig,
+    mesh: Mesh,
+    interpret: bool = False,
+):
+    """Framebuffer-sharded render through the wavefront backend: each chip
+    runs the full per-bounce pipeline (primary stage, compaction, prefix-
+    ladder bounce stages) over its row band — geometry replicated, zero
+    in-frame collectives, compaction entirely chip-local. Returns
+    (image [H, W, 3], total rays)."""
+    from cosig_tpu.ops import trace_wavefront
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    # Band height: multiple of the primary block rows so shards tile cleanly.
+    bh, _ = trace_wavefront._primary_block(max(1, cfg.aa_samples))
+    local_h = -(-cfg.height // (n * bh)) * bh
+    offsets = jnp.arange(n, dtype=jnp.float32) * local_h
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    def shard_fn(cset_rep, params_rep, offset):
+        img, rays = trace_wavefront.render_wavefront(
+            cset_rep, params_rep, cfg,
+            interpret=interpret, rows=local_h, row_offset=offset[0],
+        )
+        return img, rays.reshape(1)
+
+    img, rays = shard_fn(cset, params, offsets)
+    return img[: cfg.height], jnp.sum(rays)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def render_sharded_jit(scene, params, cfg: StaticConfig, mesh: Mesh):
     return render_sharded(scene, params, cfg, mesh)

@@ -95,7 +95,7 @@ class Renderer:
         if self.backend != "auto":
             return self.backend
         try:
-            from cosig_tpu.render import pallas_backend  # noqa: F401
+            from cosig_tpu.ops import trace_pallas  # noqa: F401
         except ImportError:
             return "xla"
         # Mosaic kernels are TPU-only; anything else uses the XLA path.
@@ -113,10 +113,12 @@ class Renderer:
         t0 = time.perf_counter()
         rays = None
         if settings.analytic_primitives:
-            # Analytic sphere/box mode (XLA path; ops/analytic.py). Skips
-            # the tessellated compile entirely — tessellating the spheres
-            # is exactly the cost this mode avoids.
-            from cosig_tpu.ops.analytic import compile_analytic
+            # Analytic sphere/box mode (ops/analytic.py). Skips the
+            # tessellated compile entirely — tessellating the spheres is
+            # exactly the cost this mode avoids. The Pallas backends fold
+            # the primitives in-kernel (kernel_core); other backends use
+            # the XLA analytic closest-hit.
+            from cosig_tpu.ops.analytic import compile_analytic, pack_prims_host
             from cosig_tpu.models.soa import compile_scene as _compile
             from cosig_tpu.scene.tessellate import extract_triangles
 
@@ -125,38 +127,68 @@ class Renderer:
                 mesh_tris = extract_triangles(scene, include_primitives=False)
                 self._analytic_arrays = _compile(scene, mesh_tris)
                 self._analytic_prims = compile_analytic(scene)
+                self._analytic_pack = pack_prims_host(scene)
+                self._analytic_tris = mesh_tris
+                self._analytic_cset = None
                 self._analytic_key = key
             arrays = self._analytic_arrays
-            img = trace_xla.render_jit_analytic(
-                self._analytic_arrays, self._analytic_prims, params, cfg
-            )
+            if backend in ("pallas", "wavefront"):
+                from cosig_tpu.accel.clusters import build_clusters
+                from cosig_tpu.models.soa import materials_host
+                from cosig_tpu.ops import trace_pallas, trace_wavefront
+
+                if self._analytic_cset is None:
+                    self._analytic_cset = build_clusters(
+                        arrays,
+                        tris=self._analytic_tris,
+                        mats_host=np.concatenate(materials_host(scene), axis=1),
+                    )
+                table, n_sph, n_box = self._analytic_pack
+                kw = dict(
+                    interpret=jax.default_backend() == "cpu",
+                    prims=jnp.asarray(table),
+                    prim_counts=(n_sph, n_box),
+                )
+                if cfg.debug_mode != 0:
+                    img, rays = trace_pallas.render_debug_jit(
+                        self._analytic_cset, params, cfg, **kw
+                    )
+                elif backend == "wavefront":
+                    img, rays = trace_wavefront.render_jit(
+                        self._analytic_cset, params, cfg, **kw
+                    )
+                else:
+                    img, rays = trace_pallas.render_jit(
+                        self._analytic_cset, params, cfg, **kw
+                    )
+            else:
+                img = trace_xla.render_jit_analytic(
+                    self._analytic_arrays, self._analytic_prims, params, cfg
+                )
         elif (
             (arrays := self._arrays_for(scene)) is not None
             and backend in ("pallas", "wavefront")
-            and cfg.debug_mode == 0
         ):
             from cosig_tpu.ops import trace_pallas, trace_wavefront
 
-            from cosig_tpu.accel import clusters as _cl
-
             cset = self._accel_for(arrays)
             interpret = jax.default_backend() == "cpu"
-            geom_bytes = int(cset.geom.size) * 4
-            if (
-                backend == "wavefront"
-                and geom_bytes <= trace_pallas.STREAM_THRESHOLD_BYTES
-                # Multi-block scenes: the wavefront's fixed 1024-ray tiles x
-                # blocked cull exceed VMEM; the megakernel handles them.
-                and int(cset.aabb_t.shape[1]) <= _cl.CULL_BLOCK
-            ):
+            if cfg.debug_mode != 0:
+                # In-kernel debug visualization (compute:484-508).
+                img, rays = trace_pallas.render_debug_jit(
+                    cset, params, cfg, interpret=interpret
+                )
+            elif backend == "wavefront":
+                # All scene sizes: multi-block scenes use the shared
+                # hierarchical cull; geometry beyond the VMEM budget
+                # streams from HBM (auto via kernel_core threshold).
                 img, rays = trace_wavefront.render_jit(
                     cset, params, cfg, interpret=interpret
                 )
             else:
-                # Huge scenes need the megakernel's HBM geometry streaming.
-                from cosig_tpu.render import pallas_backend
-
-                img, rays = pallas_backend.render_jit(cset, params, cfg)
+                img, rays = trace_pallas.render_jit(
+                    cset, params, cfg, interpret=interpret
+                )
         else:
             img = trace_xla.render_jit(arrays, params, cfg)
         img.block_until_ready()

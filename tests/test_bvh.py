@@ -61,10 +61,14 @@ def test_clusters_cover_all_triangles():
     assert cs.num_triangles == tris.count
     geom = np.asarray(cs.geom)
     assert geom.shape[1:] == (32, GEOM_COMPS)
-    # Padding rows are all-zero (S == 0 -> never valid).
-    is_pad = np.abs(geom).sum(axis=2) == 0
+    # Padding rows are all-zero except the GID column, which carries
+    # GID_PAD so the lexicographic tie-break never picks them.
+    from cosig_tpu.accel.clusters import GID, GID_PAD
+
+    is_pad = np.abs(geom[:, :, :GID]).sum(axis=2) == 0
     real = (~is_pad).sum()
     assert real == tris.count
+    assert (geom[:, :, GID][is_pad] == GID_PAD).all()
     # Every cluster's real triangles lie inside its AABB. Vertices are
     # reconstructed from the Plücker edge w-coefficients:
     # vc_w = B - A, va_w = C - B (see clusters.py column layout).

@@ -33,10 +33,17 @@ def test_reference_scene_goldens_xla(reference_scene_dir, name):
     assert _rmse_vs_golden(img, f"{name}_96_d3.png") < 2e-3
 
 
-@pytest.mark.parametrize("name", ["test_scene_1"])
+@pytest.mark.parametrize("name", ["test_scene_1", "test_scene_2", "eval_scene"])
 def test_reference_scene_goldens_pallas(reference_scene_dir, name):
     scene = load_scene(str(reference_scene_dir / f"{name}.txt"))
     img = Renderer(backend="pallas").render(scene, SETTINGS)
+    assert _rmse_vs_golden(img, f"{name}_96_d3.png") < 2e-3
+
+
+@pytest.mark.parametrize("name", ["test_scene_1", "test_scene_2", "eval_scene"])
+def test_reference_scene_goldens_wavefront(reference_scene_dir, name):
+    scene = load_scene(str(reference_scene_dir / f"{name}.txt"))
+    img = Renderer(backend="wavefront").render(scene, SETTINGS)
     assert _rmse_vs_golden(img, f"{name}_96_d3.png") < 2e-3
 
 

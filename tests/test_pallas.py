@@ -221,6 +221,71 @@ def test_demo_cornell_three_backend_depth1():
     assert np.abs(np.asarray(img_m) - ref).max() <= 2e-6
 
 
+def test_ray_counts_match_across_backends(scene1):
+    """All three backends count live rays with the same rule (alive at
+    each bounce + shadow rays with ndl > 0); the two kernels agree
+    exactly, the oracle to within a few silhouette hit/miss ULP flips."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(resolution_override=(48, 32), max_depth=3)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    _, rays_x = trace_xla.render_image(arrays, params, cfg, with_rays=True)
+    cs = build_clusters(arrays)
+    _, rays_p = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    _, rays_w = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(rays_p) == float(rays_w)
+    assert abs(float(rays_x) - float(rays_p)) <= 8
+    assert float(rays_x) >= 48 * 32  # every primary ray counted
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_pallas_debug_modes_match_oracle(scene1, mode):
+    """In-kernel debug visualizations (compute:484-508) vs the XLA
+    debug_pixels path."""
+    st = cosig_tpu.RenderSettings(resolution_override=(48, 32), debug_mode=mode)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    ref = np.asarray(trace_xla.render_jit(arrays, params, cfg))
+    cs = build_clusters(arrays)
+    img, rays = trace_pallas.render_debug(cs, params, cfg, interpret=True)
+    img = np.asarray(img)
+    d = np.abs(img - ref).max(axis=2)
+    # Hit/miss parity everywhere except ULP-edge silhouette singles.
+    assert (d > 1e-3).mean() < 0.005
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-3
+    assert float(rays) == 48 * 32
+
+
+def test_wavefront_hierarchical_cull_multiblock(scene1, monkeypatch):
+    """Wavefront on multi-block scenes (shared hierarchical cull) and with
+    HBM geometry streaming; output must match the oracle / VMEM path."""
+    from cosig_tpu.accel import clusters as cl
+    from cosig_tpu.accel.clusters import build_clusters
+    from cosig_tpu.models.soa import compile_scene, frame_params, static_config
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(resolution_override=(48, 32), max_depth=3)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    ref = np.asarray(trace_xla.render_jit(arrays, params, cfg))
+
+    monkeypatch.setattr(cl, "CULL_BLOCK", 128)
+    cs = build_clusters(arrays, k=8)
+    assert int(cs.aabb_t.shape[1]) > 128  # multi-block
+    img, _ = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert np.abs(np.asarray(img) - ref).max() < 1e-4
+
+    # combined with geometry streaming
+    img2, _ = trace_wavefront.render_wavefront(
+        cs, params, cfg, interpret=True, stream=True
+    )
+    np.testing.assert_array_equal(np.asarray(img2), np.asarray(img))
+
+
 def test_wavefront_prefix_ladder(scene1):
     """A frame big enough for a 3-level alive-prefix ladder (9 tiles ->
     levels {1, 3, 9}): deeper bounces dispatch shrinking prefixes and the

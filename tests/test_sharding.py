@@ -58,6 +58,39 @@ def test_sharded_with_effects(scene):
     np.testing.assert_allclose(img, ref, atol=5e-4)
 
 
+@pytest.mark.parametrize("n", [2, 4])
+def test_wavefront_sharded_matches_single(scene, n):
+    from cosig_tpu.accel.clusters import build_clusters
+    from cosig_tpu.models.soa import materials_host
+    from cosig_tpu.ops import trace_wavefront
+    from cosig_tpu.parallel.sharding import render_sharded_wavefront
+    from cosig_tpu.scene.tessellate import extract_triangles
+
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(48, 50), max_depth=3, aa_samples=2
+    )
+    tris = extract_triangles(scene)
+    mats = np.concatenate(materials_host(scene), axis=1)
+    arrays = compile_scene(scene, tris)
+    cset = build_clusters(arrays, tris=tris, mats_host=mats)
+    params = frame_params(scene, st)
+    cfg = static_config(scene, st)
+    single, single_rays = trace_wavefront.render_jit(
+        cset, params, cfg, interpret=True
+    )
+    img, rays = render_sharded_wavefront(
+        cset, params, cfg, make_mesh(n), interpret=True
+    )
+    img = np.asarray(img)
+    assert img.shape == (50, 48, 3)
+    # Same kernels, same global pixel coordinates per shard. Different
+    # per-shard grid shapes let XLA:CPU (interpret mode) fuse the glue
+    # around the kernels differently -> ULP-scale drift (observed max
+    # ~1e-6); on TPU the Mosaic kernels are shape-identical.
+    np.testing.assert_allclose(img, np.asarray(single), atol=2e-6)
+    assert abs(float(rays) - float(single_rays)) <= 8
+
+
 def test_pallas_sharded_matches_oracle(scene):
     from cosig_tpu.accel.clusters import build_clusters
     from cosig_tpu.models.soa import materials_host
