@@ -75,6 +75,7 @@ class Renderer:
         self._cached_accel = None
         self._cached_tris = None
         self._cached_mats_host = None
+        self._cached_bvhdev = None
 
     def _arrays_for(self, scene: SceneData) -> SceneArrays:
         if self._cached_scene is not scene or self._cached_arrays is None:
@@ -89,6 +90,7 @@ class Renderer:
             self._cached_arrays = compile_scene(scene, self._cached_tris)
             self._cached_scene = scene
             self._cached_accel = None
+            self._cached_bvhdev = None
         return self._cached_arrays
 
     def _resolve_backend(self) -> str:
@@ -189,6 +191,18 @@ class Renderer:
                 img, rays = trace_pallas.render_jit(
                     cset, params, cfg, interpret=interpret
                 )
+        elif arrays.num_triangles > 4096 and cfg.debug_mode == 0:
+            # Large scenes on the XLA path: per-ray BVH walk (O(log T))
+            # instead of the brute-force O(T) oracle scan.
+            from cosig_tpu.ops import bvh_traverse
+
+            if getattr(self, "_cached_bvhdev", None) is None:
+                self._cached_bvhdev = bvh_traverse.build_bvh_device(
+                    self._cached_tris
+                )
+            img = bvh_traverse.render_jit_bvh(
+                arrays, self._cached_bvhdev, params, cfg
+            )
         else:
             img = trace_xla.render_jit(arrays, params, cfg)
         img.block_until_ready()

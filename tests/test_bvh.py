@@ -54,6 +54,47 @@ def test_bvh_empty():
     assert bvh.count[0] == 0
 
 
+def test_bvh_walk_matches_brute(reference_scene_dir):
+    """The per-ray BVH stack walk (ops/bvh_traverse.py) must agree with
+    the brute-force oracle scan on hits and distances."""
+    import jax.numpy as jnp
+
+    from cosig_tpu.models.soa import compile_scene, frame_params, static_config
+    from cosig_tpu.ops import bvh_traverse, trace_xla
+    from cosig_tpu.ops.intersect import closest_hit_brute
+    import cosig_tpu
+
+    scene = load_scene(str(reference_scene_dir / "test_scene_1.txt"))
+    tris = extract_triangles(scene)
+    arrays = compile_scene(scene, tris)
+    bd = bvh_traverse.build_bvh_device(tris)
+
+    # Direct closest-hit agreement on a fan of camera-ish rays.
+    rng = np.random.default_rng(0)
+    o = np.tile(np.array([[0, 0, 74.0]], np.float32), (256, 1))
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d[:, 2] -= 2.0  # bias toward the scene
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    hb = closest_hit_brute(arrays, jnp.asarray(o), jnp.asarray(d))
+    hw = bvh_traverse.closest_hit_bvh(bd, None, jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(hw.hit), np.asarray(hb.hit))
+    tb, tw = np.asarray(hb.t), np.asarray(hw.t)
+    m = np.asarray(hb.hit)
+    np.testing.assert_allclose(tw[m], tb[m], rtol=1e-5)
+    # Materials agree except possibly on exact-t ties (shared edges).
+    assert (np.asarray(hw.material)[m] != np.asarray(hb.material)[m]).mean() < 0.02
+
+    # Full-render agreement at low res.
+    st = cosig_tpu.RenderSettings(resolution_override=(48, 32), max_depth=2)
+    params = frame_params(scene, st)
+    cfg = static_config(scene, st)
+    ref = np.asarray(trace_xla.render_jit(arrays, params, cfg))
+    img = np.asarray(bvh_traverse.render_jit_bvh(arrays, bd, params, cfg))
+    d2 = np.abs(img - ref).max(axis=2)
+    assert (d2 > 1e-3).mean() < 0.005
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-3
+
+
 def test_clusters_cover_all_triangles():
     s, tris = _scene_tris()
     arrays = compile_scene(s, tris)
