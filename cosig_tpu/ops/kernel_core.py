@@ -48,6 +48,11 @@ F = np.float32
 # (double-buffered per-cluster DMA; geometry-domain blocking).
 STREAM_THRESHOLD_BYTES = 6 * 1024 * 1024
 
+# Mosaic's default scoped-VMEM limit is 16 MB; large scenes (VMEM-resident
+# geometry + hierarchical-cull temporaries + ray state) legitimately need
+# more of the physical 128 MB (large_mesh bounce stage: 17.3 MB).
+COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
 INF = F(3.402823466e38)
 EPSILON = F(1e-4)
 OFFSET = F(1e-2)
@@ -190,13 +195,22 @@ def make_traverse(
     LANE_OK = RS % 128 == 0  # static lane slices must be 128-aligned
     assert S == 1 or LANE_OK
 
-    def traverse(ox, oy, oz, dx, dy, dz, active, max_t=None):
-        best_ref[0:1] = jnp.full((1, R), INF, F)
-        best_ref[1:2] = jnp.zeros((1, R), F)
-        best_ref[2:3] = jnp.ones((1, R), F)  # default normal (0,1,0)
-        best_ref[3:4] = jnp.zeros((1, R), F)
-        best_ref[4:5] = jnp.full((1, R), -1.0, F)
-        best_ref[5:6] = jnp.full((1, R), cl.GID_PAD, F)  # best global tri id
+    def traverse(ox, oy, oz, dx, dy, dz, active, max_t=None, any_hit=False):
+        """``any_hit=True`` (shadow rays): only "is some hit at t <= max_t"
+        is tracked — no winner selection, normal interpolation or
+        tie-break. Provably equal to the closest-hit form: closest-t >
+        max_t iff no hit has t <= max_t. Returns occlusion in the ``hit``
+        slot (t/normal/material are placeholders)."""
+        if any_hit:
+            assert max_t is not None
+            best_ref[0:1] = jnp.zeros((1, R), F)  # occlusion flag row
+        else:
+            best_ref[0:1] = jnp.full((1, R), INF, F)
+            best_ref[1:2] = jnp.zeros((1, R), F)
+            best_ref[2:3] = jnp.ones((1, R), F)  # default normal (0,1,0)
+            best_ref[3:4] = jnp.zeros((1, R), F)
+            best_ref[4:5] = jnp.full((1, R), -1.0, F)
+            best_ref[5:6] = jnp.full((1, R), cl.GID_PAD, F)  # best global tri id
 
         idx = F(1.0) / dx
         idy = F(1.0) / dy
@@ -215,6 +229,8 @@ def make_traverse(
             # input layout" on vector<1xW> -> vector<KxW>).
             for row, plane in enumerate((ox, oy, oz, dx, dy, dz, wx, wy, wz)):
                 best_ref[6 + row : 7 + row] = plane
+            if any_hit:
+                best_ref[15:16] = max_t  # sub-packet-sliceable bound
 
         # ---- stage 1: vectorized cull ----
         oxc = ox.reshape(R, 1)
@@ -422,6 +438,24 @@ def make_traverse(
                     & (vc * s >= F(0.0))
                     & (t > EPSILON)
                 )
+                if any_hit:
+                    # Occlusion only: any valid hit at t <= max_t. No
+                    # winner selection / interpolation / tie-break.
+                    if w == R:
+                        mts = max_t
+                        cur = best_ref[0:1]
+                    else:
+                        mts = best_ref[15:16, off : off + w]
+                        cur = best_ref[0:1, off : off + w]
+                    occ = jnp.max(
+                        (valid & (t <= mts)).astype(F), axis=0, keepdims=True
+                    )
+                    merged = jnp.maximum(cur, occ)
+                    if w == R:
+                        best_ref[0:1] = merged
+                    else:
+                        best_ref[0:1, off : off + w] = merged
+                    return
                 tm = jnp.where(valid, t, INF)
                 tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, w)
                 # Winner among equal-t rows: lowest global (soup) index —
@@ -486,6 +520,10 @@ def make_traverse(
             normal = inverse-transpose x object normal (unnormalized; the
             shared epilogue normalizes). Lexicographic (t, gid) with gid
             above all triangles == the oracle's strict-< fold order."""
+            if any_hit:
+                occ = (valid & (tp <= max_t)).astype(F)
+                best_ref[0:1] = jnp.maximum(best_ref[0:1], occ)
+                return
             w = [prims[p, 12 + j] for j in range(9)]
             wx_ = w[0] * nxw + w[1] * nyw + w[2] * nzw
             wy_ = w[3] * nxw + w[4] * nyw + w[5] * nzw
@@ -565,6 +603,13 @@ def make_traverse(
             nyo = jnp.where(is_y, jnp.sign(pyo), F(0.0))
             nzo = jnp.where(is_x | is_y, F(0.0), jnp.sign(pzo))
             _prim_fold(p, GID_SPH + 2.0 * p, tp, nxo, nyo, nzo, valid)
+
+        if any_hit:
+            # hit slot = occluded; t/normal/material are placeholders
+            # (callers of any_hit use only the occlusion bit).
+            occ = best_ref[0:1] > F(0.0)
+            ones = jnp.ones((1, R), F)
+            return occ, ones * INF, ones * F(0.0), ones, ones * F(0.0), ones * F(-1.0)
 
         t = best_ref[0:1]
         hit = t < INF
@@ -655,11 +700,15 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
         if cfg.enable_diffuse:
             shadow_active = alive & (ndl > F(0.0))
             state[16:17] = state[16:17] + shadow_active.astype(F)
-            s_hit, s_t, *_ = traverse(
+            # Any-hit shadow query: occluded iff some hit at t <= dist_l —
+            # identical to the closest-hit form's (~hit) | (t > dist)
+            # (closest t > dist iff no hit has t <= dist), but the visit
+            # loop skips all winner selection/interpolation.
+            s_occ, *_ = traverse(
                 hx + nx * OFFSET, hy + ny * OFFSET, hz + nz * OFFSET,
-                ldx, ldy, ldz, shadow_active, max_t=dist_l,
+                ldx, ldy, ldz, shadow_active, max_t=dist_l, any_hit=True,
             )
-            lit = (~s_hit) | (s_t > dist_l)
+            lit = ~s_occ
 
             gate = lit & (ndl > F(0.0)) & alive
             dr = cr * kd * ndl

@@ -44,6 +44,7 @@ from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams, StaticConfig
 from cosig_tpu.ops import camera, rng
 from cosig_tpu.ops.kernel_core import (  # noqa: F401  (re-exported legacy names)
+    COMPILER_PARAMS,
     EPSILON,
     INF,
     OFFSET,
@@ -341,6 +342,7 @@ def render_clusters(
             pltpu.SMEM((1, 128), jnp.int32),      # superblock flags (scalar)
         ],
         interpret=interpret,
+        compiler_params=COMPILER_PARAMS,
     )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
 
     # Un-tile (quad-major lane order, see _make_kernel):
@@ -505,6 +507,7 @@ def render_debug(
             pltpu.SMEM((1, 128), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=COMPILER_PARAMS,
     )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
 
     _, sqh, sqw = _subpacket_grid(tile_h, tile_w, C_pad)

@@ -44,6 +44,7 @@ from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams, StaticConfig
 from cosig_tpu.ops import camera, rng
 from cosig_tpu.ops.kernel_core import (
+    COMPILER_PARAMS,
     STREAM_THRESHOLD_BYTES,
     U_CAM,
     U_DEPTH,
@@ -364,6 +365,7 @@ def render_wavefront(
         out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=COMPILER_PARAMS,
     )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
 
     # ---- bounce stages with compaction between ----
@@ -399,6 +401,7 @@ def render_wavefront(
                 out_shape=jax.ShapeDtypeStruct((ROWS, P), jnp.float32),
                 scratch_shapes=scratch + [pltpu.VMEM((ROWS, R), jnp.float32)],
                 interpret=interpret,
+                compiler_params=COMPILER_PARAMS,
             )(uni_d, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
               geom_in, sub)
             return jax.lax.dynamic_update_slice(st, out, (0, 0))

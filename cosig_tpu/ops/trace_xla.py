@@ -272,9 +272,12 @@ def render_image(
     return img
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "pixel_tile"))
-def render_jit(scene, params, cfg: StaticConfig, pixel_tile: int = DEFAULT_PIXEL_TILE):
-    return render_image(scene, params, cfg, pixel_tile=pixel_tile)
+@functools.partial(jax.jit, static_argnames=("cfg", "pixel_tile", "with_rays"))
+def render_jit(scene, params, cfg: StaticConfig,
+               pixel_tile: int = DEFAULT_PIXEL_TILE, with_rays: bool = False):
+    return render_image(
+        scene, params, cfg, pixel_tile=pixel_tile, with_rays=with_rays
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pixel_tile"))

@@ -204,7 +204,7 @@ class Renderer:
                 arrays, self._cached_bvhdev, params, cfg
             )
         else:
-            img = trace_xla.render_jit(arrays, params, cfg)
+            img, rays = trace_xla.render_jit(arrays, params, cfg, with_rays=True)
         img.block_until_ready()
         dt = (time.perf_counter() - t0) * 1e3
 
