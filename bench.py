@@ -52,9 +52,15 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     # lengths and taking the slope cancels ALL per-dispatch overhead —
     # which on tunneled TPUs is large, variable, and mode-dependent.
     if backend in ("pallas", "wavefront"):
+        import os
+
         tris = extract_triangles(scene)
         mats = np.concatenate(materials_host(scene), axis=1)
-        cset = build_clusters(arrays, tris=tris, mats_host=mats)
+        # COSIG_K: cluster-size override for sweeps (tools/stage_profile.py)
+        cset = build_clusters(
+            arrays, tris=tris, mats_host=mats,
+            k=int(os.environ.get("COSIG_K", "32")),
+        )
 
         if backend == "wavefront":
             from cosig_tpu.ops import trace_wavefront

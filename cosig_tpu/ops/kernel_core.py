@@ -32,11 +32,21 @@ need 128-lane alignment.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Measurement-only stage stubs (tools/stage_profile.py): "mt" skips the
+# pair tests inside the visit loop (keeps cull/DMA/compaction/loop),
+# "visit" skips the visit loop entirely, "trav" skips the whole traversal
+# (immediate miss), "shadow" skips only shadow traversals (everything
+# lit; primary aliveness preserved). Images are WRONG under a stub —
+# never set outside profiling runs.
+_STUB = os.environ.get("COSIG_STUB")
 
 from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams
@@ -201,6 +211,12 @@ def make_traverse(
         tie-break. Provably equal to the closest-hit form: closest-t >
         max_t iff no hit has t <= max_t. Returns occlusion in the ``hit``
         slot (t/normal/material are placeholders)."""
+        if _STUB == "trav" or (_STUB == "shadow" and any_hit):
+            ones = jnp.ones((1, R), F)
+            return (
+                jnp.zeros((1, R), bool), ones * INF,
+                ones * F(0.0), ones, ones * F(0.0), ones * F(-1.0),
+            )
         if any_hit:
             assert max_t is not None
             best_ref[0:1] = jnp.zeros((1, R), F)  # occlusion flag row
@@ -384,6 +400,8 @@ def make_traverse(
                 _gdma(0, 0).start()
 
         def visit(i, _):
+            if _STUB == "mt":
+                return 0
             entry = list_smem[0, i]
             if stream:
                 slot = jax.lax.rem(i, 2)
@@ -512,7 +530,8 @@ def make_traverse(
                         mt(sp * RS, RS, sub_rays[sp])
             return 0
 
-        jax.lax.fori_loop(0, n_hit, visit, 0)
+        if _STUB != "visit":
+            jax.lax.fori_loop(0, n_hit, visit, 0)
 
         # ---- analytic primitive fold (optional) ----
         def _prim_fold(p, gid_val, tp, nxw, nyw, nzw, valid):
