@@ -63,37 +63,38 @@ from cosig_tpu.ops.kernel_core import (
 
 F = np.float32
 
-R = 1024  # rays per packed tile
+# Rays per packed tile. The stage decomposition (tools/stage_profile.py,
+# glass 94 ms/frame: cull+flag-DMA+scalar-compaction ~46 ms at ~5.6 us
+# per traversal vs only ~19 ms of pair tests) showed the per-traversal
+# overhead — DMA-wait + scalar-unit serialization, NOT vector compute —
+# dominates. 4096-ray tiles run that machinery once per 4x the rays,
+# while SUBPACKETS of 1024 lanes each keep the intersection granularity
+# (and hence pair work) at exactly the old per-1024-ray-tile level: the
+# compacted list entry carries per-sub-packet visit bits and each
+# sub-packet intersects only its own flagged clusters.
+import os as _os
+
+R = int(_os.environ.get("COSIG_WF_R", "4096"))
+SUB_LANES = 1024  # lanes per sub-packet (the old tile size)
+SUBPACKETS = max(1, R // SUB_LANES)
 ROWS = 24  # state rows (see module docstring)
 
 
-def _subpackets_for(c_pad: int) -> int:
-    """Sub-packet visit-mask count (kernel_core.make_traverse).
-
-    Scene-adaptive, from the measured same-window A/B (glass 1024x1024 d6
-    aa4: S=1 92.5 / S=2 93.5 / S=4 87.2 Mrays/s): small scenes visit few
-    clusters per packet with high sub-packet occupancy (~0.8 on glass), so
-    the S scalar branches per visited cluster cost more than the skipped
-    (K, R/S) intersections save — masks OFF. Large (multi-block) scenes
-    have 2-3x pair-work inflation at packet granularity (large_mesh visits
-    14.5 clusters/packet vs 6.3 at 8x8 sub-packets, tools/cull_stats.py)
-    — masks ON. COSIG_SUBPACKETS forces a value for A/B experiments."""
-    import os
-
-    env = os.environ.get("COSIG_SUBPACKETS")
-    if env is not None:
-        return int(env)
-    return 4 if c_pad > cl.CULL_BLOCK else 1
+def _quad_grid(S: int):
+    """Sub-packet arrangement inside a pixel block: (rows, cols)."""
+    return {1: (1, 1), 2: (2, 1), 4: (2, 2), 8: (4, 2)}[S]
 
 
 def _primary_block(aa: int):
     """Pixel-block shape (bh, bw) such that bh*bw*aa == R.
 
-    Blocks split into a 2x2 grid of quads, one per 256-lane sub-packet
-    (SUBPACKETS=4), so each sub-packet's cull footprint is spatially
-    compact — e.g. 8x8 px at aa=4, the granularity whose cull tightness
-    was measured in docs/subpacket_plan.md."""
-    return {1: (32, 32), 2: (16, 32), 4: (16, 16), 8: (8, 16)}[aa]
+    Blocks split into a grid of quads (one per sub-packet), so each
+    sub-packet's cull footprint is spatially compact."""
+    pixels = R // aa
+    h = 1
+    while h * h * 4 <= pixels:
+        h *= 2
+    return h, pixels // h  # h <= w, both powers of two
 
 
 def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
@@ -114,16 +115,17 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
         # lane -> (pixel-in-block, sample): consecutive aa lanes share a
-        # pixel; pixels are quad-major (2x2 quads of (bh/2, bw/2), one per
-        # 256-lane sub-packet) so sub-packet cull footprints are compact.
+        # pixel; pixels are quad-major (one quad per 1024-lane sub-packet)
+        # so sub-packet cull footprints are compact.
         s_i = lane % aa
         p_i = lane // aa
-        qh, qw = bh // 2, bw // 2
+        sqh, sqw = _quad_grid(subpackets)
+        qh, qw = bh // sqh, bw // sqw
         ppq = qh * qw  # pixels per quad
         quad = p_i // ppq
         q = p_i % ppq
-        pxi = bx * bw + (quad % 2) * qw + q % qw
-        pyi = by * bh + (quad // 2) * qh + q // qw
+        pxi = bx * bw + (quad % sqw) * qw + q % qw
+        pyi = by * bh + (quad // sqw) * qh + q // qw
         px = pxi.astype(F)
         # Global pixel row: the shard's band offset (0 single-chip) keeps
         # the projection plane and RNG seeds global (multi-chip row bands).
@@ -353,7 +355,7 @@ def render_wavefront(
         ),
     ]
 
-    subpackets = _subpackets_for(C_pad)
+    subpackets = SUBPACKETS
 
     # ---- primary stage ----
     state = pl.pallas_call(
@@ -440,10 +442,11 @@ def render_wavefront(
     inv = jnp.argsort(group_perm)
     state = state.reshape(ROWS, g_total, GROUP)[:, inv, :].reshape(ROWS, n_pad)
     # Ray enumeration (primary kernel): tile-major (nby, nbx), then quad-
-    # major (2x2 quads of (bh/2, bw/2)) pixels within the block, row-major
+    # major pixels within the block (one quad per sub-packet), row-major
     # within a quad, then AA sample.
-    qh, qw = bh // 2, bw // 2
-    colors = state[9:12].reshape(3, nby, nbx, 2, 2, qh, qw, aa)
+    sqh, sqw = _quad_grid(SUBPACKETS)
+    qh, qw = bh // sqh, bw // sqw
+    colors = state[9:12].reshape(3, nby, nbx, sqh, sqw, qh, qw, aa)
     img = (
         colors.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         .reshape(3, nby * bh, nbx * bw, aa)[:, :band, :width, :]
