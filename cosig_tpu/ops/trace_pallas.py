@@ -71,10 +71,11 @@ from cosig_tpu.ops.kernel_core import (  # noqa: F401  (re-exported legacy names
 
 F = np.float32
 
-# Default pixel-tile shape; render_clusters accepts overrides (the tile is
-# the packet: bigger tiles amortize per-traversal fixed costs, smaller
-# tiles cull tighter). 32x32 won the K/tile sweep on the glass benchmark
-# (86.6 vs 63.9 Mrays/s at 16x16); >=2048-ray packets lose to culling.
+# Default pixel-tile shape; render_clusters accepts overrides (64x64
+# super-tiles with 1024-lane sub-packets are supported — the
+# trace_wavefront structure — but measured SLOWER here on glass d6: the
+# megakernel's only sparse-bounce mechanism is the whole-tile early exit,
+# whose granularity degrades at 4096 rays/tile; 32x32 keeps it effective).
 TILE_W = 32
 TILE_H = 32
 
@@ -86,20 +87,15 @@ STATE_ROWS = 24  # shared ray-state layout (kernel_core.bounce_core)
 def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
     """Sub-packet layout for a tile -> (S, quad_rows, quad_cols).
 
-    Scene-adaptive like trace_wavefront._subpackets_for (masks only pay
-    where packet-granularity pair-work inflation is large, i.e. big
-    scenes; measured A/B in its docstring). Sub-packets are static lane
-    slices, so R/S must be a 128 multiple; quads must divide the tile
-    shape evenly. COSIG_SUBPACKETS forces a cap for A/B experiments."""
-    import os
-
-    env = os.environ.get("COSIG_SUBPACKETS")
-    cap = int(env) if env is not None else (4 if c_pad > cl.CULL_BLOCK else 1)
+    One sub-packet per 1024 lanes (the trace_wavefront super-tile rule:
+    finer masks lose to scalar branch costs, coarser ones re-inflate pair
+    work). Sub-packets are static lane slices, so R/S must be a 128
+    multiple; quads must divide the tile shape evenly."""
+    del c_pad
     R = tile_h * tile_w
-    for S, sqh, sqw in ((4, 2, 2), (2, 2, 1)):
+    for S, sqh, sqw in ((8, 4, 2), (4, 2, 2), (2, 2, 1)):
         if (
-            S <= cap
-            and R % (S * 128) == 0
+            R // S == 1024
             and tile_h % sqh == 0
             and tile_w % sqw == 0
         ):
@@ -277,7 +273,10 @@ def render_clusters(
         # Large packets amortize per-traversal overhead, but multi-block
         # scenes also scale the blocked-cull temporaries by R — 32x32
         # tiles with 512-wide cull blocks exceed the 16 MB VMEM budget.
-        tile = (TILE_H, TILE_W) if C_pad_pre <= cl.CULL_BLOCK else (16, 16)
+        # Sub-packet-chunked culls bound slab temporaries at
+        # (1024, CULL_BLOCK), so multi-block scenes use the big tile too
+        # (with the raised kernel VMEM limit, kernel_core.COMPILER_PARAMS).
+        tile = (TILE_H, TILE_W)
     tile_h, tile_w = tile
     R = tile_w * tile_h
     width, height = cfg.width, cfg.height
@@ -455,7 +454,10 @@ def render_debug(
     """In-kernel debug visualization -> (image [H, W, 3], rays scalar)."""
     C_pad_pre = int(cset.aabb_t.shape[1])
     if tile is None:
-        tile = (TILE_H, TILE_W) if C_pad_pre <= cl.CULL_BLOCK else (16, 16)
+        # Sub-packet-chunked culls bound slab temporaries at
+        # (1024, CULL_BLOCK), so multi-block scenes use the big tile too
+        # (with the raised kernel VMEM limit, kernel_core.COMPILER_PARAMS).
+        tile = (TILE_H, TILE_W)
     tile_h, tile_w = tile
     R = tile_w * tile_h
     width, height = cfg.width, cfg.height
