@@ -78,6 +78,7 @@ R = int(_os.environ.get("COSIG_WF_R", "4096"))
 SUB_LANES = 1024  # lanes per sub-packet (the old tile size)
 SUBPACKETS = max(1, R // SUB_LANES)
 ROWS = 24  # state rows (see module docstring)
+LIVE_ROWS = 17  # rows 0-16 carry data; 17-23 are alignment pad (always 0)
 
 
 def _quad_grid(S: int):
@@ -265,8 +266,10 @@ def _compact_prefix(state, group_perm, n_pad: int, eg: int):
 
     Returns ``(state, group_perm, n_alive_groups)``."""
     g = n_pad // GROUP
+    # Only the LIVE_ROWS state rows carry data (rows 17-23 are alignment
+    # pad, zero forever): permuting just those cuts the gather traffic.
     s3 = state.reshape(ROWS, g, GROUP)
-    p3 = jax.lax.slice(s3, (0, 0, 0), (ROWS, eg, GROUP))
+    p3 = jax.lax.slice(s3, (0, 0, 0), (LIVE_ROWS, eg, GROUP))
     galive = (p3[12] > F(0.5)).any(axis=1)
     octant = (
         (p3[3, :, 0] > 0).astype(jnp.int32)
@@ -276,7 +279,7 @@ def _compact_prefix(state, group_perm, n_pad: int, eg: int):
     keys = jnp.where(galive, octant, 8)
     order = jnp.argsort(keys, stable=True)
     n_alive_g = jnp.sum(galive.astype(jnp.int32))
-    packed = p3[:, order, :].reshape(ROWS, eg * GROUP)
+    packed = p3[:, order, :].reshape(LIVE_ROWS, eg * GROUP)
     state = jax.lax.dynamic_update_slice(state, packed, (0, 0))
     gp_prefix = jax.lax.slice(group_perm, (0,), (eg,))[order]
     group_perm = jax.lax.dynamic_update_slice(group_perm, gp_prefix, (0,))
@@ -437,23 +440,28 @@ def render_wavefront(
             )
 
     # ---- restore pixel order (inverse group permutation, one cheap group
-    # gather) and un-tile with pure reshapes; no per-ray scatter ----
-    g_total = n_pad // GROUP
-    inv = jnp.argsort(group_perm)
-    state = state.reshape(ROWS, g_total, GROUP)[:, inv, :].reshape(ROWS, n_pad)
+    # gather) and un-tile with pure reshapes; no per-ray scatter. Only the
+    # color rows need restoring (the rays-traced sum is permutation-
+    # invariant); at max_depth == 1 no compaction ran, so skip the
+    # identity gather entirely ----
+    rays = jnp.sum(state[16])  # padding rays never traced -> count 0
+    colors = state[9:12]
+    if cfg.max_depth > 1:
+        g_total = n_pad // GROUP
+        inv = jnp.argsort(group_perm)
+        colors = colors.reshape(3, g_total, GROUP)[:, inv, :].reshape(3, n_pad)
     # Ray enumeration (primary kernel): tile-major (nby, nbx), then quad-
     # major pixels within the block (one quad per sub-packet), row-major
     # within a quad, then AA sample.
     sqh, sqw = _quad_grid(SUBPACKETS)
     qh, qw = bh // sqh, bw // sqw
-    colors = state[9:12].reshape(3, nby, nbx, sqh, sqw, qh, qw, aa)
     img = (
-        colors.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        colors.reshape(3, nby, nbx, sqh, sqw, qh, qw, aa)
+        .transpose(0, 1, 3, 5, 2, 4, 6, 7)
         .reshape(3, nby * bh, nbx * bw, aa)[:, :band, :width, :]
         .mean(axis=3)
         .transpose(1, 2, 0)
     )
-    rays = jnp.sum(state[16])  # padding rays never traced -> count 0
     return img, rays
 
 
