@@ -44,8 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 # pair tests inside the visit loop (keeps cull/DMA/compaction/loop),
 # "visit" skips the visit loop entirely, "trav" skips the whole traversal
 # (immediate miss), "shadow" skips only shadow traversals (everything
-# lit; primary aliveness preserved). Images are WRONG under a stub —
-# never set outside profiling runs.
+# lit; primary aliveness preserved), "shade" skips the local-shading
+# block (ambient/diffuse/specular + shadow rays; aliveness and secondary
+# rays preserved). Images are WRONG under a stub — never set outside
+# profiling runs.
 _STUB = os.environ.get("COSIG_STUB")
 
 from cosig_tpu.accel import clusters as cl
@@ -149,7 +151,7 @@ def make_traverse(
     aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem, list_smem, sem,
     sbflag_vmem, sb_smem, C, C_pad, K, R,
     gbuf=None, gsem=None, stream=False, subpackets=1,
-    prims=None, n_sph=0, n_box=0,
+    prims=None, n_sph=0, n_box=0, frustum=False,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -195,6 +197,18 @@ def make_traverse(
     ops/analytic.py for the XLA oracle). Primitives get tie-break ids
     above every triangle gid, so they lose equal-t ties to triangles
     exactly like the oracle's strict-less-than fold.
+
+    ``frustum=True`` replaces the per-ray (R, C_pad) slab cull with a
+    per-sub-packet interval (bounding-frustum) test on (1, C_pad) rows —
+    ~R/S times less cull arithmetic. The hull test is a conservative
+    superset of the per-ray culls (interval arithmetic over the
+    sub-packet's origin/direction bounds; axes whose direction interval
+    straddles zero are unconstrained), so the extra visited clusters only
+    add non-winning candidates: results are identical, MT work grows by
+    the frustum looseness. Right only for COHERENT packets — the primary
+    stage's camera rays and their shadow rays (tight pixel-quad frusta);
+    bounce stages keep per-ray culls. Single-block scenes only (larger
+    scenes fall back to the hierarchical per-ray cull).
     """
     GB = cl.CULL_BLOCK
     n_blocks = max(1, C_pad // GB)
@@ -293,8 +307,65 @@ def make_traverse(
                 m = mb if m is None else m | mb
             return m
 
+        def frustum_flags():
+            """Per-sub-packet bounding-frustum vs cluster AABBs -> packed
+            (1, C_pad) bits. Interval arithmetic over the sub-packet's
+            origin/direction hulls; see the frustum note in the module
+            docstring. NaN AABB padding propagates to a false test."""
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+            act_row = active.reshape(1, R)
+            m = None
+            for sp in range(S):
+                in_sp = act_row & (lane // RS == sp)
+
+                def hull(p):
+                    lo = jnp.min(
+                        jnp.where(in_sp, p, INF), axis=1, keepdims=True
+                    )
+                    hi = jnp.max(
+                        jnp.where(in_sp, p, -INF), axis=1, keepdims=True
+                    )
+                    return lo, hi  # (1, 1) vector values
+
+                entry = jnp.zeros((1, C_pad), F)
+                exit_ = jnp.full((1, C_pad), INF, F)
+                for ax, (o_p, d_p) in enumerate(
+                    ((ox, dx), (oy, dy), (oz, dz))
+                ):
+                    olo, ohi = hull(o_p)
+                    dlo, dhi = hull(d_p)
+                    bmin = aabb_t[ax : ax + 1, :]
+                    bmax = aabb_t[ax + 3 : ax + 4, :]
+                    s_lo = bmin - ohi
+                    s_hi = bmax - olo
+                    # 1/d interval (valid only when sign-uniform).
+                    r_lo = F(1.0) / dhi
+                    r_hi = F(1.0) / dlo
+                    p1 = s_lo * r_lo
+                    p2 = s_lo * r_hi
+                    p3 = s_hi * r_lo
+                    p4 = s_hi * r_hi
+                    t_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+                    t_hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+                    # Direction interval straddles 0 -> axis unconstrained
+                    # ... unless the box lies strictly on the unreachable
+                    # side is unknowable cheaply; stay conservative.
+                    uni = (dlo > F(0.0)) | (dhi < F(0.0))
+                    t_lo = jnp.where(uni, t_lo, -INF)
+                    t_hi = jnp.where(uni, t_hi, INF)
+                    entry = jnp.maximum(entry, t_lo)
+                    exit_ = jnp.minimum(exit_, t_hi)
+                if max_t is not None:
+                    _, mt_hi = hull(max_t)
+                    exit_ = jnp.minimum(exit_, mt_hi)
+                boxhit = entry <= exit_
+                bit = boxhit.astype(jnp.int32)
+                mb = bit if sp == 0 else bit << sp
+                m = mb if m is None else m | mb
+            return m
+
         if n_blocks == 1:
-            flag_vmem[:, :] = cull(
+            flag_vmem[:, :] = frustum_flags() if frustum else cull(
                 aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
                 aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
             )
@@ -694,7 +765,7 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
     loc_g = cg * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
     loc_b = cb * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
 
-    for li in range(L):
+    for li in range(L if _STUB != "shade" else 0):
         lx, ly, lz = lights[li, 0], lights[li, 1], lights[li, 2]
         lpx = jnp.full((1, R), 1.0, F) * lx
         lpy = jnp.full((1, R), 1.0, F) * ly

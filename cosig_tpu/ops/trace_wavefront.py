@@ -202,6 +202,11 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
             prims=prims, n_sph=n_sph, n_box=n_box,
+            # Camera rays (and their shadow rays) are coherent pixel
+            # quads: cull by sub-packet bounding frustum instead of the
+            # per-ray slab grid (~R/S x less cull arithmetic; identical
+            # results — conservative superset). Single-block scenes only.
+            frustum=C_pad <= cl.CULL_BLOCK,
         )
         bounce_core(
             cfg, uniforms, mats, lights, traverse, state, M, L,
