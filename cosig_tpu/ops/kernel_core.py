@@ -207,8 +207,9 @@ def make_traverse(
     add non-winning candidates: results are identical, MT work grows by
     the frustum looseness. Right only for COHERENT packets — the primary
     stage's camera rays and their shadow rays (tight pixel-quad frusta);
-    bounce stages keep per-ray culls. Single-block scenes only (larger
-    scenes fall back to the hierarchical per-ray cull).
+    bounce stages keep per-ray culls. Works at any scene size: multi-block
+    scenes run the frustum test per block, keeping the hierarchy only for
+    its block-scoped scalar compaction.
     """
     GB = cl.CULL_BLOCK
     n_blocks = max(1, C_pad // GB)
@@ -307,35 +308,42 @@ def make_traverse(
                 m = mb if m is None else m | mb
             return m
 
-        def frustum_flags():
-            """Per-sub-packet bounding-frustum vs cluster AABBs -> packed
-            (1, C_pad) bits. Interval arithmetic over the sub-packet's
-            origin/direction hulls; see the frustum note in the module
-            docstring. NaN AABB padding propagates to a false test."""
+        # ---- per-sub-packet ray hulls (frustum mode), hoisted so both
+        # the full-row and per-block frustum tests share them ----
+        if frustum:
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
             act_row = active.reshape(1, R)
-            m = None
+            hulls = []
             for sp in range(S):
                 in_sp = act_row & (lane // RS == sp)
 
-                def hull(p):
-                    lo = jnp.min(
-                        jnp.where(in_sp, p, INF), axis=1, keepdims=True
-                    )
-                    hi = jnp.max(
-                        jnp.where(in_sp, p, -INF), axis=1, keepdims=True
-                    )
+                def hull(p, in_sp=in_sp):
+                    lo = jnp.min(jnp.where(in_sp, p, INF), axis=1, keepdims=True)
+                    hi = jnp.max(jnp.where(in_sp, p, -INF), axis=1, keepdims=True)
                     return lo, hi  # (1, 1) vector values
 
-                entry = jnp.zeros((1, C_pad), F)
-                exit_ = jnp.full((1, C_pad), INF, F)
-                for ax, (o_p, d_p) in enumerate(
-                    ((ox, dx), (oy, dy), (oz, dz))
-                ):
-                    olo, ohi = hull(o_p)
-                    dlo, dhi = hull(d_p)
-                    bmin = aabb_t[ax : ax + 1, :]
-                    bmax = aabb_t[ax + 3 : ax + 4, :]
+                axes = [
+                    (hull(o_p), hull(d_p))
+                    for o_p, d_p in ((ox, dx), (oy, dy), (oz, dz))
+                ]
+                mt_hi = hull(max_t)[1] if max_t is not None else None
+                hulls.append((axes, mt_hi))
+
+        def frustum_flags(b0, b1, b2, b3, b4, b5):
+            """Per-sub-packet bounding frustum vs a row of boxes -> packed
+            (1, W) bits. Interval arithmetic over the sub-packet's
+            origin/direction hulls; see the frustum note in the module
+            docstring. NaN AABB padding propagates to a false test."""
+            box = ((b0, b3), (b1, b4), (b2, b5))
+            W = b0.shape[1]
+            m = None
+            for sp in range(S):
+                axes, mt_hi = hulls[sp]
+                entry = jnp.zeros((1, W), F)
+                exit_ = jnp.full((1, W), INF, F)
+                for ax in range(3):
+                    (olo, ohi), (dlo, dhi) = axes[ax]
+                    bmin, bmax = box[ax]
                     s_lo = bmin - ohi
                     s_hi = bmax - olo
                     # 1/d interval (valid only when sign-uniform).
@@ -348,24 +356,24 @@ def make_traverse(
                     t_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
                     t_hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
                     # Direction interval straddles 0 -> axis unconstrained
-                    # ... unless the box lies strictly on the unreachable
-                    # side is unknowable cheaply; stay conservative.
+                    # (whether the box sits fully on the unreachable side
+                    # is unknowable cheaply; stay conservative).
                     uni = (dlo > F(0.0)) | (dhi < F(0.0))
                     t_lo = jnp.where(uni, t_lo, -INF)
                     t_hi = jnp.where(uni, t_hi, INF)
                     entry = jnp.maximum(entry, t_lo)
                     exit_ = jnp.minimum(exit_, t_hi)
-                if max_t is not None:
-                    _, mt_hi = hull(max_t)
+                if mt_hi is not None:
                     exit_ = jnp.minimum(exit_, mt_hi)
-                boxhit = entry <= exit_
-                bit = boxhit.astype(jnp.int32)
+                bit = (entry <= exit_).astype(jnp.int32)
                 mb = bit if sp == 0 else bit << sp
                 m = mb if m is None else m | mb
             return m
 
+        flags_of = frustum_flags if frustum else cull
+
         if n_blocks == 1:
-            flag_vmem[:, :] = frustum_flags() if frustum else cull(
+            flag_vmem[:, :] = flags_of(
                 aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
                 aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
             )
@@ -387,8 +395,10 @@ def make_traverse(
             # Hierarchical cull for large scenes: the (R, C_pad) slab test
             # would blow VMEM, so test CULL_BLOCK-cluster superblock unions
             # first and only cull (and later compact) the blocks some ray
-            # may enter.
-            sbflag_vmem[:, :] = cull(
+            # may enter. (In frustum mode the flags are (1, W) rows at any
+            # scale; the hierarchy is kept for the block-scoped scalar
+            # compaction, which skips dead blocks.)
+            sbflag_vmem[:, :] = flags_of(
                 sb_aabb_t[0:1, :], sb_aabb_t[1:2, :], sb_aabb_t[2:3, :],
                 sb_aabb_t[3:4, :], sb_aabb_t[4:5, :], sb_aabb_t[5:6, :],
             )
@@ -402,7 +412,7 @@ def make_traverse(
                 @pl.when(sb_smem[0, b] > 0)
                 def _():
                     off = b * GB
-                    flag_vmem[:, pl.ds(off, GB)] = cull(
+                    flag_vmem[:, pl.ds(off, GB)] = flags_of(
                         aabb_t[0:1, pl.ds(off, GB)],
                         aabb_t[1:2, pl.ds(off, GB)],
                         aabb_t[2:3, pl.ds(off, GB)],

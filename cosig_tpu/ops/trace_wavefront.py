@@ -205,8 +205,10 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
-            # results — conservative superset). Single-block scenes only.
-            frustum=C_pad <= cl.CULL_BLOCK,
+            # results — conservative superset). At any scene size: multi-
+            # block scenes keep the hierarchy only for its block-scoped
+            # scalar compaction.
+            frustum=True,
         )
         bounce_core(
             cfg, uniforms, mats, lights, traverse, state, M, L,
