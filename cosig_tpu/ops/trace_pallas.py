@@ -151,6 +151,14 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
             prims=prims, n_sph=n_sph, n_box=n_box,
         )
+        # Depth 0 traces coherent camera packets: frustum-cull them
+        # (kernel_core docstring); bounce rays keep the per-ray cull.
+        traverse_frustum = make_traverse(
+            aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
+            list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
+            gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
+            prims=prims, n_sph=n_sph, n_box=n_box, frustum=True,
+        )
 
         # ------------------------------------------------------------------
         # Ray state lives in the VMEM scratch `state` (kernel_core row
@@ -223,7 +231,9 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
                 @pl.when(any_alive)
                 def _(depth=depth, s_plane=s_plane):
                     bounce_core(
-                        cfg, uniforms, mats, lights, traverse, state, M, L,
+                        cfg, uniforms, mats, lights,
+                        traverse_frustum if depth == 0 else traverse,
+                        state, M, L,
                         px, py, s_plane, F(float(depth)),
                         is_last=depth == cfg.max_depth - 1,
                     )
@@ -416,7 +426,7 @@ def _make_debug_kernel(cfg: StaticConfig, C, C_pad, K, nbx,
             aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
-            prims=prims, n_sph=n_sph, n_box=n_box,
+            prims=prims, n_sph=n_sph, n_box=n_box, frustum=True,
         )
         hit, t, nx, ny, nz, _ = traverse(
             ox, oy, oz, dx, dy, dz, jnp.ones((1, R), bool)
