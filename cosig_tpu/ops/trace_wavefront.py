@@ -222,6 +222,11 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, is_last: bool, stream,
                         prim_counts=(0, 0), subpackets=1):
     C, C_pad, K, M, L = dims
     n_sph, n_box = prim_counts
+    # Experiment knob: frustum-cull bounce stages too. Compacted bounce
+    # packets are octant-uniform (sign-uniform direction hulls) and
+    # raster-adjacent, but their origin hulls span depth discontinuities;
+    # measure before enabling (default off).
+    bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
 
     def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom, state_in,
                state_out, best_ref, flag_vmem, flags_smem, list_smem, sem,
@@ -239,6 +244,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, is_last: bool, stream,
                 list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
                 gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
                 prims=prims, n_sph=n_sph, n_box=n_box,
+                frustum=bounce_frustum,
             )
             bounce_core(
                 cfg, uniforms, mats, lights, traverse, state, M, L,
