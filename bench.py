@@ -61,6 +61,12 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
             arrays, tris=tris, mats_host=mats,
             k=int(os.environ.get("COSIG_K", "32")),
         )
+        # COSIG_K_PRIMARY: finer primary-stage cluster set (wavefront only).
+        kp = os.environ.get("COSIG_K_PRIMARY")
+        cset_p = (
+            build_clusters(arrays, tris=tris, mats_host=mats, k=int(kp))
+            if kp else None
+        )
 
         if backend == "wavefront":
             from cosig_tpu.ops import trace_wavefront
@@ -75,12 +81,12 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
                         light_intensity=params.light_intensity + prev[0, 0, 0] * 0.0,
                     )
                     img, rays = trace_wavefront.render_wavefront(
-                        cset, p2, cfg, interpret=interpret
+                        cset, p2, cfg, interpret=interpret, cset_primary=cset_p
                     )
                     return (img, acc + rays), None
 
                 img0, rays0 = trace_wavefront.render_wavefront(
-                    cset, params, cfg, interpret=interpret
+                    cset, params, cfg, interpret=interpret, cset_primary=cset_p
                 )
                 (img, total), _ = jax.lax.scan(body, (img0, rays0), None, length=k - 1)
                 return img, total

@@ -16,9 +16,11 @@ layout, no relayouts):
   (1, R) to form (K, R) pair grids.
 * ``aabb_t [8, C_pad]`` f32 in VMEM — rows min.xyz / max.xyz, transposed and
   lane-padded to a multiple of 128 so the whole cluster-cull for a ray tile
-  is one vectorized (R, C_pad) slab test; padding columns are NaN, which the
-  slab comparisons reject for every ray (an inverted min>max box would NOT
-  work: the min/max-normalizing slab test treats it as its mirror box).
+  is one vectorized (R, C_pad) slab test; padding columns are NaN. The
+  NaN-conservative cull (kernel_core) lets NaN columns PASS — harmless,
+  because the scalar compaction is bounded by the real cluster count C
+  (an inverted min>max box would not help either way: the min/max-
+  normalizing slab test treats it as its mirror box).
 * ``mats [M, 8]`` f32 in SMEM — color rgb + ambient/diffuse/specular/
   refraction/ior.
 """
@@ -146,7 +148,10 @@ def build_clusters(
     if t == 0:
         geom = np.zeros((1, k, GEOM_COMPS), F32)
         geom[:, :, GID] = GID_PAD
-        aabb_t = np.full((8, 128), np.nan, F32)  # NaN: never passes the slab test
+        # NaN padding; the NaN-conservative cull may pass these, but
+        # compaction stops at the real cluster count (here the one
+        # all-padding cluster, whose rows can never win: S == 0 -> invalid).
+        aabb_t = np.full((8, 128), np.nan, F32)
         return ClusterSet(
             geom=jnp.asarray(geom),
             aabb_t=jnp.asarray(aabb_t),
@@ -181,9 +186,9 @@ def build_clusters(
     # Padding rows can never win (S == 0 -> invalid), but give them the
     # above-everything GID anyway so tie-break reductions stay trivial.
     geom[:, :, GID] = GID_PAD
-    # Padding columns are NaN -> slab comparisons are all False -> never
-    # hit, for every ray. (Defense in depth: the compaction loop also stops
-    # at the real cluster count C.)
+    # Padding columns are NaN. The NaN-conservative cull (kernel_core)
+    # passes them, and the compaction loop stops at the real cluster
+    # count C, so they are never visited.
     aabb_t = np.full((8, c_pad), np.nan, F32)
     rt = bvh.triangles
     from cosig_tpu.ops.intersect import plucker_constants_host

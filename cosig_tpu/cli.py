@@ -30,7 +30,7 @@ import numpy as np
 def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("scene", help="scene .txt path, or generated:<config-name>")
     p.add_argument("-o", "--output", default="render.png")
-    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "wavefront"])
+    p.add_argument("--backend", default="auto", choices=["auto", "xla", "xla-brute", "pallas", "wavefront"])
     p.add_argument("--width", type=int)
     p.add_argument("--height", type=int)
     p.add_argument("--depth", type=int, default=None, help="max bounce depth")

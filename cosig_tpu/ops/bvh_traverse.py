@@ -124,7 +124,14 @@ def closest_hit_bvh(bd: BVHDevice, scene, o, d) -> Hit:
 
         def slab(node):
             """Entry distance to a node's box, INF on miss
-            (compute:199-216 semantics)."""
+            (compute:199-216 semantics).
+
+            Known fp edge (shared with the HLSL reference): a zero
+            direction component with the origin exactly ON a node plane
+            yields 0 * inf = NaN, all comparisons false, node culled —
+            a hit the brute-force oracle would still find. Measure-zero
+            for real camera rays; documented rather than clamped so the
+            walk stays arithmetic-identical to the reference."""
             t0 = (bd.node_min[node] - o1) * inv
             t1 = (bd.node_max[node] - o1) * inv
             tn = jnp.max(jnp.minimum(t0, t1))
@@ -200,12 +207,17 @@ def closest_hit_bvh(bd: BVHDevice, scene, o, d) -> Hit:
                material=material)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "pixel_tile"))
-def render_jit_bvh(scene, bvh_dev, params, cfg, pixel_tile: int = 8192):
-    """XLA render with the BVH walk as the closest-hit routine."""
+@functools.partial(jax.jit, static_argnames=("cfg", "pixel_tile", "with_rays"))
+def render_jit_bvh(scene, bvh_dev, params, cfg, pixel_tile: int = 8192,
+                   with_rays: bool = False):
+    """XLA render with the BVH walk as the closest-hit routine.
+
+    ``with_rays`` returns (image, live-ray count) with the same honest
+    counting as every other backend (trace_xla.trace_sample)."""
     from cosig_tpu.ops import trace_xla
 
     ch = functools.partial(closest_hit_bvh, bvh_dev)
     return trace_xla.render_image(
-        scene, params, cfg, closest_hit=ch, pixel_tile=pixel_tile
+        scene, params, cfg, closest_hit=ch, pixel_tile=pixel_tile,
+        with_rays=with_rays,
     )

@@ -86,7 +86,8 @@ U_ROUGHNESS = 20
 U_SHUTTER = 21
 U_ROW_OFF = 22  # global row offset of this shard's band (multi-chip)
 U_DEPTH = 23  # bounce index (wavefront stages); unused by the megakernel
-UNIFORMS_LEN = 24
+U_LAST = 24  # 1.0 on the final bounce (wavefront stages; see bounce_core)
+UNIFORMS_LEN = 25
 
 
 def _pow32(x):
@@ -130,7 +131,7 @@ def build_uniforms(params: FrameParams, row_offset=0.0) -> jax.Array:
         params.light_size,
         params.surface_roughness,
         params.shutter_speed,
-        row_offset, F(0.0),
+        row_offset, F(0.0), F(0.0),
     ]
     return jnp.stack([jnp.asarray(v, F) for v in vals])
 
@@ -279,7 +280,17 @@ def make_traverse(
             enter the box (S=1: plain 0/1). Inputs are the six AABB
             component rows. Rays are processed one sub-packet (R/S
             sublanes) at a time, which both produces the per-sub-packet
-            bits and bounds the slab temporaries at (R/S, W)."""
+            bits and bounds the slab temporaries at (R/S, W).
+
+            NaN-conservative: comparisons are inverted (``~(tn > tf)``)
+            so any NaN slab — a zero direction component with the origin
+            exactly on a box plane (0 * inf, jittered AA rays hit this),
+            or NaN padding columns — PASSES and lets the exact pair test
+            decide. A conservative superset visit costs nothing but a
+            candidate; culling on NaN (the reference IntersectAABB's own
+            failure mode, compute:199-216) silently drops oracle hits.
+            Padding columns passing is harmless: scalar compaction is
+            bounded by the real cluster count C."""
             m = None
             for sp in range(S):
                 rows = slice(sp * RS, (sp + 1) * RS)
@@ -297,12 +308,12 @@ def make_traverse(
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                     jnp.maximum(t0z, t1z),
                 )
-                boxhit = (tn <= tf) & (tf >= F(0.0)) & (act[rows] > F(0.0))
+                boxhit = ~(tn > tf) & ~(tf < F(0.0)) & (act[rows] > F(0.0))
                 if mt_col is not None:
                     # Shadow rays: boxes entered beyond the light distance
                     # cannot contain a hit closer than the light (t >= tn);
                     # `lit` treats miss and beyond-light hits identically.
-                    boxhit = boxhit & (tn <= mt_col[rows])
+                    boxhit = boxhit & ~(tn > mt_col[rows])
                 bit = jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
                 mb = bit if sp == 0 else bit << sp
                 m = mb if m is None else m | mb
@@ -333,7 +344,8 @@ def make_traverse(
             """Per-sub-packet bounding frustum vs a row of boxes -> packed
             (1, W) bits. Interval arithmetic over the sub-packet's
             origin/direction hulls; see the frustum note in the module
-            docstring. NaN AABB padding propagates to a false test."""
+            docstring. NaN-conservative like ``cull``: NaN intervals (and
+            NaN AABB padding) pass; compaction is bounded by C."""
             box = ((b0, b3), (b1, b4), (b2, b5))
             W = b0.shape[1]
             m = None
@@ -365,7 +377,7 @@ def make_traverse(
                     exit_ = jnp.minimum(exit_, t_hi)
                 if mt_hi is not None:
                     exit_ = jnp.minimum(exit_, mt_hi)
-                bit = (entry <= exit_).astype(jnp.int32)
+                bit = (~(entry > exit_)).astype(jnp.int32)
                 mb = bit if sp == 0 else bit << sp
                 m = mb if m is None else m | mb
             return m
@@ -476,9 +488,13 @@ def make_traverse(
                     geom.at[_cid(list_smem[0, i])], gbuf.at[slot], gsem.at[slot]
                 )
 
-            @pl.when(n_hit > 0)
-            def _():
-                _gdma(0, 0).start()
+            # Under the "mt" measurement stub the visit body returns before
+            # any wait; starting the warm-up DMA then would leave it
+            # forever outstanding (Mosaic rejects un-awaited DMAs).
+            if _STUB != "mt":
+                @pl.when(n_hit > 0)
+                def _():
+                    _gdma(0, 0).start()
 
         def visit(i, _):
             if _STUB == "mt":
@@ -736,6 +752,15 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
     are RNG seed planes; ``depth_f`` the bounce index (static f32 in the
     megakernel, traced SMEM scalar in the wavefront stages) — both produce
     the same seed values, so backends stay bitwise-equal.
+
+    ``is_last`` may be a static bool (megakernel: the final bounce skips
+    the secondary-ray block entirely) or a traced f32 scalar (wavefront:
+    ONE bounce executable for every depth — compile-time economy). The
+    traced form computes the secondary ray and masks ``cont`` to False on
+    the final bounce; every state write is ``where(cont, ...)``-guarded,
+    so the resulting state is bit-identical to the static-True early
+    return (alive := cont & ... == 0, origin/direction/attenuation
+    unchanged).
     """
     R = state.shape[-1]
     bg = (uniforms[U_BG], uniforms[U_BG + 1], uniforms[U_BG + 2])
@@ -834,7 +859,7 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
     state[10:11] = scol_g
     state[11:12] = scol_b
 
-    if is_last:
+    if is_last is True:
         state[12:13] = jnp.zeros((1, R), F)
         return  # no secondary rays after the final bounce
 
@@ -897,6 +922,10 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
         ndz = ndz + gz_ * roughness
 
     cont = alive & (should_reflect | should_refract)
+    if not isinstance(is_last, bool):
+        # Traced final-bounce flag: kill continuation instead of skipping
+        # the block (see docstring — bit-identical, one executable).
+        cont = cont & (is_last <= F(0.0))
     ndx, ndy, ndz = _rsqrt_planes(ndx, ndy, ndz)
     at_r = jnp.where(cont, at_r * amr, at_r)
     at_g = jnp.where(cont, at_g * amg, at_g)

@@ -49,6 +49,7 @@ from cosig_tpu.ops.kernel_core import (
     U_CAM,
     U_DEPTH,
     U_DIST,
+    U_LAST,
     U_ORTHO,
     U_PLANE_H,
     U_ROW_OFF,
@@ -74,9 +75,26 @@ F = np.float32
 # sub-packet intersects only its own flagged clusters.
 import os as _os
 
-R = int(_os.environ.get("COSIG_WF_R", "4096"))
 SUB_LANES = 1024  # lanes per sub-packet (the old tile size)
-SUBPACKETS = max(1, R // SUB_LANES)
+
+
+def _validate_tile_rays(r: int) -> int:
+    """Tile sizes must be SUB_LANES * S with S in {1, 2, 4, 8}: sub-packets
+    are static 128-aligned lane slices and the quad grid only supports
+    those S values (``_quad_grid``). Reject bad values at the knob instead
+    of deep inside kernel construction."""
+    if r % SUB_LANES != 0 or r // SUB_LANES not in (1, 2, 4, 8):
+        raise ValueError(
+            f"wavefront tile size must be {SUB_LANES}*S with S in "
+            f"{{1, 2, 4, 8}}; got {r} (COSIG_WF_R or tile_rays)"
+        )
+    return r
+
+
+# Default tile size; override per call via render_wavefront(tile_rays=...)
+# or process-wide via COSIG_WF_R (sweeps).
+R = _validate_tile_rays(int(_os.environ.get("COSIG_WF_R", "4096")))
+SUBPACKETS = R // SUB_LANES
 ROWS = 24  # state rows (see module docstring)
 LIVE_ROWS = 17  # rows 0-16 carry data; 17-23 are alignment pad (always 0)
 
@@ -86,12 +104,12 @@ def _quad_grid(S: int):
     return {1: (1, 1), 2: (2, 1), 4: (2, 2), 8: (4, 2)}[S]
 
 
-def _primary_block(aa: int):
-    """Pixel-block shape (bh, bw) such that bh*bw*aa == R.
+def _primary_block(aa: int, tile_rays: int = None):
+    """Pixel-block shape (bh, bw) such that bh*bw*aa == tile_rays.
 
     Blocks split into a grid of quads (one per sub-packet), so each
     sub-packet's cull footprint is spatially compact."""
-    pixels = R // aa
+    pixels = (tile_rays or R) // aa
     h = 1
     while h * h * 4 <= pixels:
         h *= 2
@@ -99,12 +117,12 @@ def _primary_block(aa: int):
 
 
 def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
-                         prim_counts=(0, 0), subpackets=1):
+                         prim_counts=(0, 0), subpackets=1, R=R):
     C, C_pad, K, M, L = dims
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
     grid_w, grid_h = camera.aa_grid(aa)
-    bh, bw = _primary_block(aa)
+    bh, bw = _primary_block(aa, R)
     n_sph, n_box = prim_counts
 
     def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom, state,
@@ -218,8 +236,12 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
     return kernel
 
 
-def _make_bounce_kernel(cfg: StaticConfig, dims, is_last: bool, stream,
-                        prim_counts=(0, 0), subpackets=1):
+def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
+                        prim_counts=(0, 0), subpackets=1, R=R):
+    """ONE bounce executable for every depth: the bounce index and the
+    final-bounce flag are SMEM uniforms (U_DEPTH / U_LAST), not trace-time
+    constants — cutting the wavefront compile ladder from
+    (max_depth-1) x levels Mosaic payloads to just levels."""
     C, C_pad, K, M, L = dims
     n_sph, n_box = prim_counts
     # Experiment knob: frustum-cull bounce stages too. Compacted bounce
@@ -248,7 +270,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, is_last: bool, stream,
             )
             bounce_core(
                 cfg, uniforms, mats, lights, traverse, state, M, L,
-                px, py, s_plane, uniforms[U_DEPTH], is_last=is_last,
+                px, py, s_plane, uniforms[U_DEPTH], is_last=uniforms[U_LAST],
             )
 
         state_out[:, :] = state[:, :]
@@ -299,53 +321,21 @@ def _compact_prefix(state, group_perm, n_pad: int, eg: int):
     return state, group_perm, n_alive_g
 
 
-def render_wavefront(
-    cset: cl.ClusterSet,
-    params: FrameParams,
-    cfg: StaticConfig,
-    interpret: bool = False,
-    stream: bool = None,
-    rows: int = None,
-    row_offset=0.0,
-    prims=None,
-    prim_counts=(0, 0),
-):
-    """Render via wavefront stages -> (image [rows, W, 3], rays_traced).
-
-    ``stream``: keep geometry in HBM and double-buffer visited clusters
-    through VMEM (scenes beyond the VMEM budget); default: auto by
-    geometry size. Multi-block scenes use the shared hierarchical cull
-    (kernel_core.make_traverse), so arbitrary scene sizes run wavefront.
-
-    ``rows``/``row_offset`` restrict rendering to a global row band
-    (framebuffer sharding); the projection plane and RNG seeds always use
-    the global cfg dimensions."""
-    width, height = cfg.width, cfg.height
-    band = height if rows is None else rows
-    aa = max(1, cfg.aa_samples)
-    bh, bw = _primary_block(aa)
-    nbx = -(-width // bw)
-    nby = -(-band // bh)
-    n_tiles = nbx * nby
-    n_pad = n_tiles * R
-
+def _stage_resources(cset: cl.ClusterSet, stream, R: int):
+    """Per-stage kernel resources for one cluster set -> (dims[:3], stream,
+    geom_in, scratch, geom_specs). Stages may traverse DIFFERENT cluster
+    granularities over the same triangle soup: the (t, gid) lexicographic
+    winner fold is clustering-invariant (an associative/commutative min
+    over the identical pair set), so mixing cluster sizes across stages is
+    exact."""
     C, K = cset.num_clusters, cset.k
     C_pad = int(cset.aabb_t.shape[1])
-    uniforms = build_uniforms(params, jnp.asarray(row_offset, jnp.float32))
-    lights = build_lights(params, cfg.multi_light)
-    L = int(lights.shape[0])
-    M = int(cset.mats.shape[0])
-    dims = (C, C_pad, K, M, L)
-
     if stream is None:
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
-    if prims is None:
-        prims = jnp.zeros((1, 22), jnp.float32)
     geom_in = cset.geom
     if stream:
         # HBM slices DMA'd per cluster need a 128-aligned last dim.
         geom_in = jnp.pad(cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS)))
-
     scratch = [
         pltpu.VMEM((16, R), jnp.float32),  # best-hit state + staged ray planes
         pltpu.VMEM((1, C_pad), jnp.int32),
@@ -370,21 +360,81 @@ def render_wavefront(
             (C, K, cl.GEOM_COMPS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
     ]
+    return (C, C_pad, K), stream, geom_in, scratch, geom_specs
 
-    subpackets = SUBPACKETS
 
-    # ---- primary stage ----
+def render_wavefront(
+    cset: cl.ClusterSet,
+    params: FrameParams,
+    cfg: StaticConfig,
+    interpret: bool = False,
+    stream: bool = None,
+    rows: int = None,
+    row_offset=0.0,
+    prims=None,
+    prim_counts=(0, 0),
+    tile_rays: int = None,
+    cset_primary: cl.ClusterSet = None,
+):
+    """Render via wavefront stages -> (image [rows, W, 3], rays_traced).
+
+    ``stream``: keep geometry in HBM and double-buffer visited clusters
+    through VMEM (scenes beyond the VMEM budget); default: auto by
+    geometry size. Multi-block scenes use the shared hierarchical cull
+    (kernel_core.make_traverse), so arbitrary scene sizes run wavefront.
+
+    ``rows``/``row_offset`` restrict rendering to a global row band
+    (framebuffer sharding); the projection plane and RNG seeds always use
+    the global cfg dimensions.
+
+    ``tile_rays``: rays per packed tile (SUB_LANES * S, S in {1,2,4,8});
+    default: module default (COSIG_WF_R env or 4096).
+
+    ``cset_primary``: optional FINER cluster set (same triangle soup,
+    smaller k) used by the primary stage only — its coherent frusta make
+    fine-grained culling nearly free while cutting pair tests per visit;
+    bounce stages keep the coarse set (their per-ray slab culls scale
+    with cluster count). Exact: the winner fold is clustering-invariant
+    (see ``_stage_resources``)."""
+    R = _validate_tile_rays(tile_rays) if tile_rays is not None else globals()["R"]
+    subpackets = R // SUB_LANES
+    width, height = cfg.width, cfg.height
+    band = height if rows is None else rows
+    aa = max(1, cfg.aa_samples)
+    bh, bw = _primary_block(aa, R)
+    nbx = -(-width // bw)
+    nby = -(-band // bh)
+    n_tiles = nbx * nby
+    n_pad = n_tiles * R
+
+    uniforms = build_uniforms(params, jnp.asarray(row_offset, jnp.float32))
+    lights = build_lights(params, cfg.multi_light)
+    L = int(lights.shape[0])
+    M = int(cset.mats.shape[0])
+    if prims is None:
+        prims = jnp.zeros((1, 22), jnp.float32)
+
+    (C, C_pad, K), stream, geom_in, scratch, geom_specs = _stage_resources(
+        cset, stream, R
+    )
+    dims = (C, C_pad, K, M, L)
+
+    # ---- primary stage (optionally on a finer cluster set) ----
+    pcs = cset_primary if cset_primary is not None else cset
+    (pC, pC_pad, pK), p_stream, p_geom_in, p_scratch, p_geom_specs = (
+        _stage_resources(pcs, None if cset_primary is not None else stream, R)
+    )
     state = pl.pallas_call(
-        _make_primary_kernel(cfg, dims, nbx, band, stream, prim_counts,
-                             subpackets),
+        _make_primary_kernel(cfg, (pC, pC_pad, pK, M, L), nbx, band, p_stream,
+                             prim_counts, subpackets, R),
         grid=(n_tiles,),
-        in_specs=geom_specs,
+        in_specs=p_geom_specs,
         out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
-        scratch_shapes=scratch,
+        scratch_shapes=p_scratch,
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,
-    )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
+    )(uniforms, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t, p_geom_in)
 
     # ---- bounce stages with compaction between ----
     # Alive groups are compacted to a prefix, so the bounce kernel only
@@ -397,15 +447,21 @@ def render_wavefront(
     # compaction itself also shrinks: it only sorts/permutes the extent
     # dispatched at the previous depth (an outer switch over ``ext_idx``),
     # leaving the dead tail — whose colors are final — untouched in HBM.
+    #
+    # Compile-time economy: the bounce index / final-bounce flag are SMEM
+    # uniforms and the depth chain is a lax.fori_loop, so the whole ladder
+    # is ONE bounce executable per prefix level (<= 3 Mosaic payloads)
+    # regardless of max_depth — vs (max_depth-1) x levels when each depth
+    # was its own trace (glass d6 compiled 897 s at round 2).
     levels = sorted({max(1, -(-n_tiles // 16)), max(1, -(-n_tiles // 4)), n_tiles})
     lv_arr = jnp.array(levels, jnp.int32)
+    group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
 
-    def make_bounce(depth: int, is_last: bool):
-        kernel = _make_bounce_kernel(cfg, dims, is_last, stream, prim_counts,
-                                     subpackets)
-        uni_d = uniforms.at[U_DEPTH].set(jnp.float32(depth))
+    if cfg.max_depth > 1:
+        kernel = _make_bounce_kernel(cfg, dims, stream, prim_counts,
+                                     subpackets, R)
 
-        def run_prefix(st, pt):
+        def run_prefix(st, uni_d, pt):
             P = pt * R
             sub = jax.lax.slice(st, (0, 0), (ROWS, P))
             out = pl.pallas_call(
@@ -424,7 +480,7 @@ def render_wavefront(
               geom_in, sub)
             return jax.lax.dynamic_update_slice(st, out, (0, 0))
 
-        def at_extent(st, gp, ext_tiles):
+        def at_extent(st, gp, uni_d, ext_tiles):
             st, gp, n_alive_g = _compact_prefix(
                 st, gp, n_pad, ext_tiles * R // GROUP)
             needed_tiles = (n_alive_g * GROUP + (R - 1)) // R
@@ -432,24 +488,45 @@ def render_wavefront(
             # inside the current extent, so idx <= the extent's own index.
             idx = jnp.sum(lv_arr < needed_tiles)
             st = jax.lax.switch(
-                idx, [functools.partial(run_prefix, pt=lvl) for lvl in levels],
-                st,
+                idx,
+                [functools.partial(run_prefix, pt=lvl) for lvl in levels],
+                st, uni_d,
             )
             return st, gp, idx
 
-        return at_extent
-
-    group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
-    ext_idx = None  # depth-1 compaction covers the full primary output
-    for depth in range(1, cfg.max_depth):
-        at_extent = make_bounce(depth, depth == cfg.max_depth - 1)
-        if ext_idx is None:
-            state, group_perm, ext_idx = at_extent(state, group_perm, n_tiles)
-        else:
-            state, group_perm, ext_idx = jax.lax.switch(
+        def depth_body(depth, carry):
+            st, gp, ext_idx = carry
+            uni_d = (
+                uniforms.at[U_DEPTH].set(depth.astype(jnp.float32))
+                .at[U_LAST].set((depth == cfg.max_depth - 1).astype(jnp.float32))
+            )
+            return jax.lax.switch(
                 ext_idx,
                 [functools.partial(at_extent, ext_tiles=lvl) for lvl in levels],
-                state, group_perm,
+                st, gp, uni_d,
+            )
+
+        # Depth-1 compaction covers the full primary output (last level).
+        #
+        # The depth chain is a lax.fori_loop when compiled (one Mosaic
+        # payload per prefix level regardless of max_depth) but UNROLLED in
+        # interpret mode: interpret-mode pallas_call inside a while loop
+        # under shard_map miscomputes (the bounce kernel sees state
+        # inconsistent with the compaction permutation — reproduced at
+        # round 3 on the multichip dryrun; identity-permutation or
+        # no-bounce variants are unaffected, pointing at buffer aliasing
+        # in the interpret machinery, which compiled Mosaic never uses).
+        # Interpret mode has no Mosaic compiles, so unrolling costs
+        # nothing there. COSIG_WF_LOOP=py forces the unrolled form when
+        # compiled (escape hatch).
+        carry = (state, group_perm, jnp.int32(len(levels) - 1))
+        if interpret or _os.environ.get("COSIG_WF_LOOP") == "py":
+            for depth in range(1, cfg.max_depth):
+                carry = depth_body(jnp.int32(depth), carry)
+            state, group_perm, _ = carry
+        else:
+            state, group_perm, _ = jax.lax.fori_loop(
+                1, cfg.max_depth, depth_body, carry,
             )
 
     # ---- restore pixel order (inverse group permutation, one cheap group
@@ -466,7 +543,7 @@ def render_wavefront(
     # Ray enumeration (primary kernel): tile-major (nby, nbx), then quad-
     # major pixels within the block (one quad per sub-packet), row-major
     # within a quad, then AA sample.
-    sqh, sqw = _quad_grid(SUBPACKETS)
+    sqh, sqw = _quad_grid(subpackets)
     qh, qw = bh // sqh, bw // sqw
     # Average the AA samples (consecutive lanes) BEFORE the big
     # untranspose: the awkward 8-D transpose lowers to slow copies on
@@ -481,11 +558,14 @@ def render_wavefront(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "stream", "prim_counts")
+    jax.jit,
+    static_argnames=("cfg", "interpret", "stream", "prim_counts", "tile_rays"),
 )
 def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False,
-               stream: bool = None, prims=None, prim_counts=(0, 0)):
+               stream: bool = None, prims=None, prim_counts=(0, 0),
+               tile_rays: int = None, cset_primary=None):
     return render_wavefront(
         cset, params, cfg, interpret, stream,
-        prims=prims, prim_counts=prim_counts,
+        prims=prims, prim_counts=prim_counts, tile_rays=tile_rays,
+        cset_primary=cset_primary,
     )

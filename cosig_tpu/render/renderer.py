@@ -9,7 +9,11 @@ This is the TPU-native equivalent of ``Assets/Services/RayTracer.cs``:
 * ``render`` is the static path (device->host readback included,
   RayTracer.cs:212-380); ``render_to_device`` is the realtime path that
   returns the device array without readback (RayTracer.cs:76-82);
-* backends: ``"xla"`` (pure-XLA oracle), ``"pallas"`` (fused pixel-tile
+* backends: ``"xla"`` (pure-XLA path; switches to the per-ray BVH walk
+  above 4096 triangles), ``"xla-brute"`` (brute-force closest-hit at any
+  scene size — the EXACT test oracle; the BVH walk's near-first traversal
+  resolves equal-t ties by traversal order, not soup order, so it is not
+  bit-identical to the oracle on ties), ``"pallas"`` (fused pixel-tile
   megakernel), ``"wavefront"`` (per-bounce kernels with global ray
   compaction — fastest for deep bounces), ``"auto"`` (wavefront on TPU
   when geometry fits VMEM, pallas for huge scenes, xla elsewhere).
@@ -191,17 +195,23 @@ class Renderer:
                 img, rays = trace_pallas.render_jit(
                     cset, params, cfg, interpret=interpret
                 )
-        elif arrays.num_triangles > 4096 and cfg.debug_mode == 0:
+        elif (
+            backend != "xla-brute"
+            and arrays.num_triangles > 4096
+            and cfg.debug_mode == 0
+        ):
             # Large scenes on the XLA path: per-ray BVH walk (O(log T))
-            # instead of the brute-force O(T) oracle scan.
+            # instead of the brute-force O(T) oracle scan. backend=
+            # "xla-brute" opts out (exact-oracle escape hatch — see the
+            # module docstring for the tie-break difference).
             from cosig_tpu.ops import bvh_traverse
 
             if getattr(self, "_cached_bvhdev", None) is None:
                 self._cached_bvhdev = bvh_traverse.build_bvh_device(
                     self._cached_tris
                 )
-            img = bvh_traverse.render_jit_bvh(
-                arrays, self._cached_bvhdev, params, cfg
+            img, rays = bvh_traverse.render_jit_bvh(
+                arrays, self._cached_bvhdev, params, cfg, with_rays=True
             )
         else:
             img, rays = trace_xla.render_jit(arrays, params, cfg, with_rays=True)

@@ -41,6 +41,7 @@ def test_reference_scene_goldens_pallas(reference_scene_dir, name):
 
 
 @pytest.mark.parametrize("name", ["test_scene_1", "test_scene_2", "eval_scene"])
+@pytest.mark.slow
 def test_reference_scene_goldens_wavefront(reference_scene_dir, name):
     scene = load_scene(str(reference_scene_dir / f"{name}.txt"))
     img = Renderer(backend="wavefront").render(scene, SETTINGS)

@@ -54,13 +54,28 @@ def test_matches_oracle_effects(scene1):
     )
     img, ref, _ = render_both(scene1, st)
     diff = np.abs(img - ref).max(axis=2)
-    # Stochastic effects can push a jittered ray exactly onto a cluster
-    # AABB boundary where the slab test's 0 * inf -> NaN excludes the
-    # cluster (the reference's own IntersectAABB failure mode,
-    # compute:199-216) while the brute-force oracle, having no AABBs,
-    # still hits. Allow isolated single-pixel flips, nothing structural.
-    assert (diff > 1e-3).sum() <= 3
-    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-3
+    # Round-3 exact gate, no flip budget. Two facts (measured):
+    # 1. The cull cannot drop an oracle hit: cluster AABBs are inflated
+    #    (clusters.py) and the slab test is NaN-conservative
+    #    (kernel_core), so every ray that could hit a triangle visits its
+    #    cluster and the exact pair test decides.
+    # 2. The historical <= 3 flips were ORACLE-side program-shape fusion
+    #    noise, not kernel error: the brute-force oracle disagrees with
+    #    ITSELF at those exact pixels when compiled at a different
+    #    pixel_tile, while the kernels agree with themselves across tile
+    #    shapes (0 disagreement, 32x32 vs 16x64 tiles).
+    # So: every kernel flip must sit on an oracle-self-unstable pixel;
+    # flips at oracle-stable pixels (a real kernel regression) fail.
+    ref2 = np.asarray(
+        trace_xla.render_jit(
+            compile_scene(scene1), frame_params(scene1, st),
+            static_config(scene1, st), pixel_tile=512,
+        )
+    )
+    unstable = np.abs(ref - ref2).max(axis=2) > 1e-6
+    assert ((diff > 1e-3) & ~unstable).sum() == 0
+    assert diff.max() < 0.05  # structural breaks fail even on unstable pixels
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-4
 
 
 def test_matches_oracle_orthographic(scene1):
@@ -92,6 +107,7 @@ def test_matches_oracle_toggles(scene1):
     assert np.sqrt(((img - ref) ** 2).mean()) < 1e-5
 
 
+@pytest.mark.slow
 def test_cluster_size_invariance(scene1):
     st = cosig_tpu.RenderSettings(resolution_override=(32, 32), max_depth=2)
     img16, ref, _ = render_both(scene1, st, k=16)
@@ -117,6 +133,7 @@ def test_render_chain_matches_single(scene1):
     assert float(raysk) == pytest.approx(3 * float(rays1))
 
 
+@pytest.mark.slow
 def test_hierarchical_cull_multiblock(scene1, monkeypatch):
     """Forcing small cull blocks exercises the superblock pre-cull +
     block-scoped compaction path; output must be unchanged."""
@@ -161,6 +178,7 @@ def render_wavefront_pair(scene, settings):
     return np.asarray(img), ref, float(rays)
 
 
+@pytest.mark.slow
 def test_wavefront_matches_oracle_basic(scene1):
     st = cosig_tpu.RenderSettings(resolution_override=(48, 32), max_depth=3)
     img, ref, rays = render_wavefront_pair(scene1, st)
@@ -177,10 +195,31 @@ def test_wavefront_matches_oracle_effects(scene1):
     )
     img, ref, _ = render_wavefront_pair(scene1, st)
     diff = np.abs(img - ref).max(axis=2)
-    assert (diff > 1e-3).sum() <= 3  # NaN-slab-edge singles, like the megakernel
-    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-3
+    # No flip budget: flips allowed ONLY at pixels where either program is
+    # provably shape-unstable (XLA:CPU fusion ULPs amplified by grazing
+    # stochastic rays — see test_matches_oracle_effects). The oracle's
+    # probe is a different pixel_tile; the wavefront's is a different
+    # tile_rays (unlike the megakernel, changing it changes array shapes
+    # and hence CPU codegen). A real logic regression flips pixels that
+    # are stable for both programs, and fails.
+    from cosig_tpu.ops import trace_wavefront
+
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    ref2 = np.asarray(trace_xla.render_jit(arrays, params, cfg, pixel_tile=512))
+    img2, _ = trace_wavefront.render_wavefront(
+        build_clusters(arrays), params, cfg, interpret=True, tile_rays=2048
+    )
+    unstable = (np.abs(ref - ref2).max(axis=2) > 1e-6) | (
+        np.abs(img - np.asarray(img2)).max(axis=2) > 1e-6
+    )
+    assert ((diff > 1e-3) & ~unstable).sum() == 0
+    assert diff.max() < 0.05  # structural breaks fail even on unstable pixels
+    assert np.sqrt(((img - ref) ** 2).mean()) < 1e-4
 
 
+@pytest.mark.slow
 def test_wavefront_matches_megakernel(scene1):
     """Same plane arithmetic -> the two Pallas backends agree to XLA-CPU
     fusion ULPs on deterministic configs. (Interpret mode compiles the
@@ -226,6 +265,7 @@ def test_demo_cornell_three_backend_depth1():
     assert np.abs(np.asarray(img_m) - ref).max() <= 2e-6
 
 
+@pytest.mark.slow
 def test_ray_counts_match_across_backends(scene1):
     """All three backends count live rays with the same rule (alive at
     each bounce + shadow rays with ndl > 0); the two kernels agree
@@ -264,6 +304,7 @@ def test_pallas_debug_modes_match_oracle(scene1, mode):
     assert float(rays) == 48 * 32
 
 
+@pytest.mark.slow
 def test_wavefront_hierarchical_cull_multiblock(scene1, monkeypatch):
     """Wavefront on multi-block scenes (shared hierarchical cull) and with
     HBM geometry streaming; output must match the oracle / VMEM path."""
@@ -291,6 +332,7 @@ def test_wavefront_hierarchical_cull_multiblock(scene1, monkeypatch):
     np.testing.assert_array_equal(np.asarray(img2), np.asarray(img))
 
 
+@pytest.mark.slow
 def test_wavefront_prefix_ladder(scene1):
     """A frame big enough for a 3-level alive-prefix ladder (9 tiles ->
     levels {1, 3, 9}): deeper bounces dispatch shrinking prefixes and the
@@ -299,3 +341,23 @@ def test_wavefront_prefix_ladder(scene1):
     img, ref, rays = render_wavefront_pair(scene1, st)
     assert np.sqrt(((img - ref) ** 2).mean()) < 1e-5
     assert rays >= 96 * 96  # at least every primary ray counted
+
+
+def test_wavefront_mixed_granularity_exact(scene1):
+    """A finer primary-stage cluster set (cset_primary) must be BIT-exact
+    vs the single-granularity render: the (t, gid) lexicographic winner
+    fold is clustering-invariant over the same triangle soup."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(resolution_override=(32, 32), max_depth=3)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs32 = build_clusters(arrays, k=32)
+    cs8 = build_clusters(arrays, k=8)
+    base, r0 = trace_wavefront.render_wavefront(cs32, params, cfg, interpret=True)
+    mixed, r1 = trace_wavefront.render_wavefront(
+        cs32, params, cfg, interpret=True, cset_primary=cs8
+    )
+    assert float(r0) == float(r1)
+    assert np.abs(np.asarray(mixed) - np.asarray(base)).max() == 0.0

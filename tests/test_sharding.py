@@ -59,6 +59,7 @@ def test_sharded_with_effects(scene):
 
 
 @pytest.mark.parametrize("n", [2, 4])
+@pytest.mark.slow
 def test_wavefront_sharded_matches_single(scene, n):
     from cosig_tpu.accel.clusters import build_clusters
     from cosig_tpu.models.soa import materials_host
@@ -91,6 +92,7 @@ def test_wavefront_sharded_matches_single(scene, n):
     assert abs(float(rays) - float(single_rays)) <= 8
 
 
+@pytest.mark.slow
 def test_pallas_sharded_matches_oracle(scene):
     from cosig_tpu.accel.clusters import build_clusters
     from cosig_tpu.models.soa import materials_host
