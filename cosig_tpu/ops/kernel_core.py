@@ -50,6 +50,17 @@ from jax.experimental.pallas import tpu as pltpu
 # profiling runs.
 _STUB = os.environ.get("COSIG_STUB")
 
+# Two-phase progressive cull experiment (frustum mode, single cull block):
+# visit near clusters first (entry <= tau), then re-cull the far set
+# against each sub-packet's worst best-t (closest-hit) or remaining
+# unoccluded lanes (any-hit) before visiting the rest. EXACT: a hull
+# entry strictly beyond every lane's current best cannot win (hit t >=
+# per-ray entry >= hull entry > bound >= that ray's best), and occlusion
+# is monotone. The amortized form of the reference's pop-time best-t
+# early-out (BVHRayTracing.compute:245-246) at packet granularity.
+_PHASE2 = os.environ.get("COSIG_PHASE2") == "1"
+_P2_TAU = np.float32(float(os.environ.get("COSIG_PHASE2_TAU", "0.5")))
+
 from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams
 from cosig_tpu.ops import rng
@@ -340,15 +351,23 @@ def make_traverse(
                 mt_hi = hull(max_t)[1] if max_t is not None else None
                 hulls.append((axes, mt_hi))
 
-        def frustum_flags(b0, b1, b2, b3, b4, b5):
+        def frustum_flags(b0, b1, b2, b3, b4, b5, with_entries=False):
             """Per-sub-packet bounding frustum vs a row of boxes -> packed
             (1, W) bits. Interval arithmetic over the sub-packet's
             origin/direction hulls; see the frustum note in the module
             docstring. NaN-conservative like ``cull``: NaN intervals (and
-            NaN AABB padding) pass; compaction is bounded by C."""
+            NaN AABB padding) pass; compaction is bounded by C.
+
+            ``with_entries`` also returns the per-sub-packet entry-
+            distance rows (INF where the bit is clear) — a lower bound on
+            any hit t inside the box for every ray of the sub-packet
+            (entry starts at 0 and maxes axis lower bounds computed from
+            the hull, each <= the per-ray value) — used by the two-phase
+            progressive cull."""
             box = ((b0, b3), (b1, b4), (b2, b5))
             W = b0.shape[1]
             m = None
+            entries = []
             for sp in range(S):
                 axes, mt_hi = hulls[sp]
                 entry = jnp.zeros((1, W), F)
@@ -377,258 +396,324 @@ def make_traverse(
                     exit_ = jnp.minimum(exit_, t_hi)
                 if mt_hi is not None:
                     exit_ = jnp.minimum(exit_, mt_hi)
-                bit = (~(entry > exit_)).astype(jnp.int32)
+                hit_b = ~(entry > exit_)
+                bit = hit_b.astype(jnp.int32)
                 mb = bit if sp == 0 else bit << sp
                 m = mb if m is None else m | mb
-            return m
+                if with_entries:
+                    entries.append(jnp.where(hit_b, entry, INF))
+            return (m, entries) if with_entries else m
 
         flags_of = frustum_flags if frustum else cull
 
-        if n_blocks == 1:
-            flag_vmem[:, :] = flags_of(
-                aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
-                aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
-            )
-            copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
-            copy.start()
-            copy.wait()
+        # Two-phase progressive cull (COSIG_PHASE2=1, frustum single-block
+        # only): phase 0 visits clusters entered at <= tau (an entry-
+        # distance split of the flagged set); phase 1 re-culls the far set
+        # against each sub-packet's worst current best-t (closest-hit) or
+        # remaining unoccluded lanes (any-hit) before visiting it. Exact:
+        # see the _PHASE2 note at module top.
+        phases = 2 if (_PHASE2 and frustum and n_blocks == 1) else 1
+        flags_row = entries = near = None
+        for phase in range(phases):
 
-            def compact(c, n):
-                f = flags_smem[0, c]
-
-                @pl.when(f > 0)
-                def _():
-                    list_smem[0, n] = c if S == 1 else (c << 8) | f
-
-                return n + jnp.where(f > 0, 1, 0)
-
-            n_hit = jax.lax.fori_loop(0, C, compact, 0)
-        else:
-            # Hierarchical cull for large scenes: the (R, C_pad) slab test
-            # would blow VMEM, so test CULL_BLOCK-cluster superblock unions
-            # first and only cull (and later compact) the blocks some ray
-            # may enter. (In frustum mode the flags are (1, W) rows at any
-            # scale; the hierarchy is kept for the block-scoped scalar
-            # compaction, which skips dead blocks.)
-            sbflag_vmem[:, :] = flags_of(
-                sb_aabb_t[0:1, :], sb_aabb_t[1:2, :], sb_aabb_t[2:3, :],
-                sb_aabb_t[3:4, :], sb_aabb_t[4:5, :], sb_aabb_t[5:6, :],
-            )
-            sb_copy = pltpu.make_async_copy(sbflag_vmem, sb_smem, sem)
-            sb_copy.start()
-            sb_copy.wait()
-
-            flag_vmem[:, :] = jnp.zeros((1, C_pad), jnp.int32)
-
-            def blk(b, _):
-                @pl.when(sb_smem[0, b] > 0)
-                def _():
-                    off = b * GB
-                    flag_vmem[:, pl.ds(off, GB)] = flags_of(
-                        aabb_t[0:1, pl.ds(off, GB)],
-                        aabb_t[1:2, pl.ds(off, GB)],
-                        aabb_t[2:3, pl.ds(off, GB)],
-                        aabb_t[3:4, pl.ds(off, GB)],
-                        aabb_t[4:5, pl.ds(off, GB)],
-                        aabb_t[5:6, pl.ds(off, GB)],
+            if n_blocks == 1:
+                if phases == 1:
+                    flag_vmem[:, :] = flags_of(
+                        aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
+                        aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
                     )
-
-                return 0
-
-            jax.lax.fori_loop(0, n_blocks, blk, 0)
-
-            copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
-            copy.start()
-            copy.wait()
-
-            def sb_compact(s, n):
-                hi = jnp.minimum((s + 1) * GB, C)
-
-                def inner(c, n2):
-                    fc = flags_smem[0, c]
-
-                    @pl.when(fc > 0)
-                    def _():
-                        list_smem[0, n2] = c if S == 1 else (c << 8) | fc
-
-                    return n2 + jnp.where(fc > 0, 1, 0)
-
-                return jax.lax.cond(
-                    sb_smem[0, s] > 0,
-                    lambda nn: jax.lax.fori_loop(s * GB, hi, inner, nn),
-                    lambda nn: nn,
-                    n,
-                )
-
-            n_hit = jax.lax.fori_loop(0, n_blocks, sb_compact, 0)
-
-        # ---- stage 3: intersect only the hit clusters ----
-        def _cid(entry):
-            return entry if S == 1 else entry >> 8
-
-        # Per-sub-packet ray-plane windows, loaded ONCE per traversal
-        # (loop-invariant across cluster visits; loading inside the visit
-        # body would re-issue 9 loads per cluster).
-        sub_rays = None
-        if S > 1:
-            sub_rays = [
-                tuple(
-                    best_ref[r : r + 1, sp * RS : (sp + 1) * RS]
-                    for r in range(6, 15)
-                )
-                for sp in range(S)
-            ]
-
-        if stream:
-            # Geometry lives in HBM; double-buffer each visited cluster's
-            # (K, comps) block through VMEM so the DMA for cluster i+1
-            # overlaps the intersection of cluster i.
-            def _gdma(i, slot):
-                return pltpu.make_async_copy(
-                    geom.at[_cid(list_smem[0, i])], gbuf.at[slot], gsem.at[slot]
-                )
-
-            # Under the "mt" measurement stub the visit body returns before
-            # any wait; starting the warm-up DMA then would leave it
-            # forever outstanding (Mosaic rejects un-awaited DMAs).
-            if _STUB != "mt":
-                @pl.when(n_hit > 0)
-                def _():
-                    _gdma(0, 0).start()
-
-        def visit(i, _):
-            if _STUB == "mt":
-                return 0
-            entry = list_smem[0, i]
-            if stream:
-                slot = jax.lax.rem(i, 2)
-
-                @pl.when(i + 1 < n_hit)
-                def _():
-                    _gdma(i + 1, jax.lax.rem(i + 1, 2)).start()
-
-                _gdma(i, slot).wait()
-                g = gbuf[slot]  # (K, comps)
-            else:
-                g = geom[_cid(entry)]  # (K, GEOM_COMPS)
-            gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
-            nda = g[:, 6:7]
-            gid = g[:, 35:36]
-
-            def mt(off, w, rays9=None):
-                """Plücker/edge-volume intersection of this cluster's
-                (K, w) pair grid on the lane slice [off, off+w); updates
-                the best-hit rows on the same slice. The chain order
-                mirrors intersect.moller_trumbore exactly. ``rays9`` is
-                the sub-packet's pre-loaded ray-plane window tuple (see
-                the staging note in traverse)."""
-                if w == R:
-                    oxs, oys, ozs = ox, oy, oz
-                    dxs, dys, dzs = dx, dy, dz
-                    wxs, wys, wzs = wx, wy, wz
+                elif phase == 0:
+                    flags_row, entries = frustum_flags(
+                        aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
+                        aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
+                        with_entries=True,
+                    )
+                    ent_min = entries[0]
+                    for e in entries[1:]:
+                        ent_min = jnp.minimum(ent_min, e)
+                    # NaN-safe flagged-entry stats (padding columns are
+                    # NaN/INF; `x < INF` is False for both).
+                    fin = ent_min < INF
+                    lo = jnp.min(
+                        jnp.where(fin, ent_min, INF), axis=1, keepdims=True
+                    )
+                    hi = jnp.max(
+                        jnp.where(fin, ent_min, -INF), axis=1, keepdims=True
+                    )
+                    tau = lo + (hi - lo) * _P2_TAU
+                    near = ~(ent_min > tau)
+                    flag_vmem[:, :] = jnp.where(near, flags_row, 0)
                 else:
-                    oxs, oys, ozs, dxs, dys, dzs, wxs, wys, wzs = rays9
-                va = (
-                    dxs * g[:, 7:8] + dys * g[:, 8:9] + dzs * g[:, 9:10]
-                    + wxs * g[:, 10:11] + wys * g[:, 11:12] + wzs * g[:, 12:13]
-                )
-                vb = (
-                    dxs * g[:, 13:14] + dys * g[:, 14:15] + dzs * g[:, 15:16]
-                    + wxs * g[:, 16:17] + wys * g[:, 17:18] + wzs * g[:, 18:19]
-                )
-                vc = (
-                    dxs * g[:, 19:20] + dys * g[:, 20:21] + dzs * g[:, 21:22]
-                    + wxs * g[:, 22:23] + wys * g[:, 23:24] + wzs * g[:, 24:25]
-                )
-                s = dxs * gnx + dys * gny + dzs * gnz
-                ndo = oxs * gnx + oys * gny + ozs * gnz
-                inv_s = F(1.0) / s
-                t = (nda - ndo) * inv_s
-                u = vb * inv_s
-                v = vc * inv_s
-                valid = (
-                    (jnp.abs(s) >= EPSILON)
-                    & (va * s >= F(0.0))
-                    & (vb * s >= F(0.0))
-                    & (vc * s >= F(0.0))
-                    & (t > EPSILON)
-                )
-                if any_hit:
-                    # Occlusion only: any valid hit at t <= max_t. No
-                    # winner selection / interpolation / tie-break.
-                    if w == R:
-                        mts = max_t
-                        cur = best_ref[0:1]
+                    # Far set, re-culled against phase-0 results. The
+                    # bound row is staged through best_ref (row 16) so
+                    # per-sub-packet windows are fresh aligned ref loads
+                    # (the Mosaic staging rule, see sub_rays).
+                    row0 = best_ref[0:1]
+                    if any_hit:
+                        stat = jnp.where(act_row, row0, F(1.0))
                     else:
-                        mts = best_ref[15:16, off : off + w]
-                        cur = best_ref[0:1, off : off + w]
-                    occ = jnp.max(
-                        (valid & (t <= mts)).astype(F), axis=0, keepdims=True
-                    )
-                    merged = jnp.maximum(cur, occ)
-                    if w == R:
-                        best_ref[0:1] = merged
-                    else:
-                        best_ref[0:1, off : off + w] = merged
-                    return
-                tm = jnp.where(valid, t, INF)
-                tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, w)
-                # Winner among equal-t rows: lowest global (soup) index —
-                # the deterministic lexicographic (t, gid) tie-break
-                # matching the XLA oracle's reduction order (first-
-                # occurrence argmin over soup blocks + strict < across
-                # blocks).
-                cand = jnp.where(tm == tmin, gid, cl.GID_PAD)
-                gmin = jnp.min(cand, axis=0, keepdims=True)
-                oh = ((tm == tmin) & (gid == gmin)).astype(F)
+                        stat = jnp.where(act_row, row0, -INF)
+                    best_ref[16:17] = stat
+                    far = None
+                    for sp in range(S):
+                        win = best_ref[16:17, sp * RS : (sp + 1) * RS]
+                        bit = (flags_row >> sp) & 1
+                        if any_hit:
+                            # Skip iff every active lane is occluded.
+                            open_sp = (
+                                jnp.min(win, axis=1, keepdims=True) < F(1.0)
+                            )
+                            kb = bit * (open_sp & ~near).astype(jnp.int32)
+                        else:
+                            # Skip iff the hull entry is strictly beyond
+                            # every lane's current best (NaN-conservative).
+                            bound = jnp.max(win, axis=1, keepdims=True)
+                            kb = bit * (
+                                (~near) & ~(entries[sp] > bound)
+                            ).astype(jnp.int32)
+                        mb = kb if sp == 0 else kb << sp
+                        far = mb if far is None else far | mb
+                    flag_vmem[:, :] = far
+                copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
+                copy.start()
+                copy.wait()
 
-                def sel(col):
-                    return jnp.sum(oh * col, axis=0, keepdims=True)
+                def compact(c, n):
+                    f = flags_smem[0, c]
 
-                u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
-                v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
-                w_c = F(1.0) - u_c - v_c
-                nx = w_c * sel(g[:, 25:26]) + u_c * sel(g[:, 28:29]) + v_c * sel(g[:, 31:32])
-                ny = w_c * sel(g[:, 26:27]) + u_c * sel(g[:, 29:30]) + v_c * sel(g[:, 32:33])
-                nz = w_c * sel(g[:, 27:28]) + u_c * sel(g[:, 30:31]) + v_c * sel(g[:, 33:34])
-                mat_c = sel(g[:, 34:35])
+                    @pl.when(f > 0)
+                    def _():
+                        list_smem[0, n] = c if S == 1 else (c << 8) | f
 
-                # Lexicographic (t, gid) winner across clusters: the same
-                # triangle pair straddling two clusters (or two triangles
-                # sharing an edge) resolves identically in every backend.
-                def bref(row):
-                    if w == R:
-                        return best_ref[row : row + 1]
-                    return best_ref[row : row + 1, off : off + w]
+                    return n + jnp.where(f > 0, 1, 0)
 
-                def bset(row, val):
-                    if w == R:
-                        best_ref[row : row + 1] = val
-                    else:
-                        best_ref[row : row + 1, off : off + w] = val
-
-                bt = bref(0)
-                better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
-                for row, new in (
-                    (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
-                ):
-                    bset(row, jnp.where(better, new, bref(row)))
-
-            if S == 1:
-                mt(0, R)
+                n_hit = jax.lax.fori_loop(0, C, compact, 0)
             else:
-                # Per-sub-packet visit bits: skip the (K, R/S) intersection
-                # for sub-packets whose every ray already failed the
-                # (inflated) slab test — the reference's per-ray traversal
-                # granularity, packet-shaped (compute:225-267).
-                for sp in range(S):
-                    @pl.when(((entry >> sp) & 1) > 0)
-                    def _(sp=sp):
-                        mt(sp * RS, RS, sub_rays[sp])
-            return 0
+                # Hierarchical cull for large scenes: the (R, C_pad) slab test
+                # would blow VMEM, so test CULL_BLOCK-cluster superblock unions
+                # first and only cull (and later compact) the blocks some ray
+                # may enter. (In frustum mode the flags are (1, W) rows at any
+                # scale; the hierarchy is kept for the block-scoped scalar
+                # compaction, which skips dead blocks.)
+                sbflag_vmem[:, :] = flags_of(
+                    sb_aabb_t[0:1, :], sb_aabb_t[1:2, :], sb_aabb_t[2:3, :],
+                    sb_aabb_t[3:4, :], sb_aabb_t[4:5, :], sb_aabb_t[5:6, :],
+                )
+                sb_copy = pltpu.make_async_copy(sbflag_vmem, sb_smem, sem)
+                sb_copy.start()
+                sb_copy.wait()
 
-        if _STUB != "visit":
-            jax.lax.fori_loop(0, n_hit, visit, 0)
+                flag_vmem[:, :] = jnp.zeros((1, C_pad), jnp.int32)
+
+                def blk(b, _):
+                    @pl.when(sb_smem[0, b] > 0)
+                    def _():
+                        off = b * GB
+                        flag_vmem[:, pl.ds(off, GB)] = flags_of(
+                            aabb_t[0:1, pl.ds(off, GB)],
+                            aabb_t[1:2, pl.ds(off, GB)],
+                            aabb_t[2:3, pl.ds(off, GB)],
+                            aabb_t[3:4, pl.ds(off, GB)],
+                            aabb_t[4:5, pl.ds(off, GB)],
+                            aabb_t[5:6, pl.ds(off, GB)],
+                        )
+
+                    return 0
+
+                jax.lax.fori_loop(0, n_blocks, blk, 0)
+
+                copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
+                copy.start()
+                copy.wait()
+
+                def sb_compact(s, n):
+                    hi = jnp.minimum((s + 1) * GB, C)
+
+                    def inner(c, n2):
+                        fc = flags_smem[0, c]
+
+                        @pl.when(fc > 0)
+                        def _():
+                            list_smem[0, n2] = c if S == 1 else (c << 8) | fc
+
+                        return n2 + jnp.where(fc > 0, 1, 0)
+
+                    return jax.lax.cond(
+                        sb_smem[0, s] > 0,
+                        lambda nn: jax.lax.fori_loop(s * GB, hi, inner, nn),
+                        lambda nn: nn,
+                        n,
+                    )
+
+                n_hit = jax.lax.fori_loop(0, n_blocks, sb_compact, 0)
+
+            # ---- stage 3: intersect only the hit clusters ----
+            def _cid(entry):
+                return entry if S == 1 else entry >> 8
+
+            # Per-sub-packet ray-plane windows, loaded ONCE per traversal
+            # (loop-invariant across cluster visits; loading inside the visit
+            # body would re-issue 9 loads per cluster).
+            sub_rays = None
+            if S > 1:
+                sub_rays = [
+                    tuple(
+                        best_ref[r : r + 1, sp * RS : (sp + 1) * RS]
+                        for r in range(6, 15)
+                    )
+                    for sp in range(S)
+                ]
+
+            if stream:
+                # Geometry lives in HBM; double-buffer each visited cluster's
+                # (K, comps) block through VMEM so the DMA for cluster i+1
+                # overlaps the intersection of cluster i.
+                def _gdma(i, slot):
+                    return pltpu.make_async_copy(
+                        geom.at[_cid(list_smem[0, i])], gbuf.at[slot], gsem.at[slot]
+                    )
+
+                # Under the "mt" measurement stub the visit body returns before
+                # any wait; starting the warm-up DMA then would leave it
+                # forever outstanding (Mosaic rejects un-awaited DMAs).
+                if _STUB != "mt":
+                    @pl.when(n_hit > 0)
+                    def _():
+                        _gdma(0, 0).start()
+
+            def visit(i, _):
+                if _STUB == "mt":
+                    return 0
+                entry = list_smem[0, i]
+                if stream:
+                    slot = jax.lax.rem(i, 2)
+
+                    @pl.when(i + 1 < n_hit)
+                    def _():
+                        _gdma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+                    _gdma(i, slot).wait()
+                    g = gbuf[slot]  # (K, comps)
+                else:
+                    g = geom[_cid(entry)]  # (K, GEOM_COMPS)
+                gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
+                nda = g[:, 6:7]
+                gid = g[:, 35:36]
+
+                def mt(off, w, rays9=None):
+                    """Plücker/edge-volume intersection of this cluster's
+                    (K, w) pair grid on the lane slice [off, off+w); updates
+                    the best-hit rows on the same slice. The chain order
+                    mirrors intersect.moller_trumbore exactly. ``rays9`` is
+                    the sub-packet's pre-loaded ray-plane window tuple (see
+                    the staging note in traverse)."""
+                    if w == R:
+                        oxs, oys, ozs = ox, oy, oz
+                        dxs, dys, dzs = dx, dy, dz
+                        wxs, wys, wzs = wx, wy, wz
+                    else:
+                        oxs, oys, ozs, dxs, dys, dzs, wxs, wys, wzs = rays9
+                    va = (
+                        dxs * g[:, 7:8] + dys * g[:, 8:9] + dzs * g[:, 9:10]
+                        + wxs * g[:, 10:11] + wys * g[:, 11:12] + wzs * g[:, 12:13]
+                    )
+                    vb = (
+                        dxs * g[:, 13:14] + dys * g[:, 14:15] + dzs * g[:, 15:16]
+                        + wxs * g[:, 16:17] + wys * g[:, 17:18] + wzs * g[:, 18:19]
+                    )
+                    vc = (
+                        dxs * g[:, 19:20] + dys * g[:, 20:21] + dzs * g[:, 21:22]
+                        + wxs * g[:, 22:23] + wys * g[:, 23:24] + wzs * g[:, 24:25]
+                    )
+                    s = dxs * gnx + dys * gny + dzs * gnz
+                    ndo = oxs * gnx + oys * gny + ozs * gnz
+                    inv_s = F(1.0) / s
+                    t = (nda - ndo) * inv_s
+                    u = vb * inv_s
+                    v = vc * inv_s
+                    valid = (
+                        (jnp.abs(s) >= EPSILON)
+                        & (va * s >= F(0.0))
+                        & (vb * s >= F(0.0))
+                        & (vc * s >= F(0.0))
+                        & (t > EPSILON)
+                    )
+                    if any_hit:
+                        # Occlusion only: any valid hit at t <= max_t. No
+                        # winner selection / interpolation / tie-break.
+                        if w == R:
+                            mts = max_t
+                            cur = best_ref[0:1]
+                        else:
+                            mts = best_ref[15:16, off : off + w]
+                            cur = best_ref[0:1, off : off + w]
+                        occ = jnp.max(
+                            (valid & (t <= mts)).astype(F), axis=0, keepdims=True
+                        )
+                        merged = jnp.maximum(cur, occ)
+                        if w == R:
+                            best_ref[0:1] = merged
+                        else:
+                            best_ref[0:1, off : off + w] = merged
+                        return
+                    tm = jnp.where(valid, t, INF)
+                    tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, w)
+                    # Winner among equal-t rows: lowest global (soup) index —
+                    # the deterministic lexicographic (t, gid) tie-break
+                    # matching the XLA oracle's reduction order (first-
+                    # occurrence argmin over soup blocks + strict < across
+                    # blocks).
+                    cand = jnp.where(tm == tmin, gid, cl.GID_PAD)
+                    gmin = jnp.min(cand, axis=0, keepdims=True)
+                    oh = ((tm == tmin) & (gid == gmin)).astype(F)
+
+                    def sel(col):
+                        return jnp.sum(oh * col, axis=0, keepdims=True)
+
+                    u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
+                    v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
+                    w_c = F(1.0) - u_c - v_c
+                    nx = w_c * sel(g[:, 25:26]) + u_c * sel(g[:, 28:29]) + v_c * sel(g[:, 31:32])
+                    ny = w_c * sel(g[:, 26:27]) + u_c * sel(g[:, 29:30]) + v_c * sel(g[:, 32:33])
+                    nz = w_c * sel(g[:, 27:28]) + u_c * sel(g[:, 30:31]) + v_c * sel(g[:, 33:34])
+                    mat_c = sel(g[:, 34:35])
+
+                    # Lexicographic (t, gid) winner across clusters: the same
+                    # triangle pair straddling two clusters (or two triangles
+                    # sharing an edge) resolves identically in every backend.
+                    def bref(row):
+                        if w == R:
+                            return best_ref[row : row + 1]
+                        return best_ref[row : row + 1, off : off + w]
+
+                    def bset(row, val):
+                        if w == R:
+                            best_ref[row : row + 1] = val
+                        else:
+                            best_ref[row : row + 1, off : off + w] = val
+
+                    bt = bref(0)
+                    better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
+                    for row, new in (
+                        (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
+                    ):
+                        bset(row, jnp.where(better, new, bref(row)))
+
+                if S == 1:
+                    mt(0, R)
+                else:
+                    # Per-sub-packet visit bits: skip the (K, R/S) intersection
+                    # for sub-packets whose every ray already failed the
+                    # (inflated) slab test — the reference's per-ray traversal
+                    # granularity, packet-shaped (compute:225-267).
+                    for sp in range(S):
+                        @pl.when(((entry >> sp) & 1) > 0)
+                        def _(sp=sp):
+                            mt(sp * RS, RS, sub_rays[sp])
+                return 0
+
+            if _STUB != "visit":
+                jax.lax.fori_loop(0, n_hit, visit, 0)
 
         # ---- analytic primitive fold (optional) ----
         def _prim_fold(p, gid_val, tp, nxw, nyw, nzw, valid):

@@ -339,7 +339,7 @@ def render_clusters(
         out_specs=pl.BlockSpec((4, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n_tiles * R), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((16, R), jnp.float32),     # best-hit state + staged ray planes
+            pltpu.VMEM((18, R), jnp.float32),     # best-hit rows + staged rays + p2 bound
             pltpu.VMEM((STATE_ROWS, R), jnp.float32),  # ray state (kernel_core rows)
             pltpu.VMEM((1, C_pad), jnp.int32),    # cluster flags (vector)
             pltpu.SMEM((1, C_pad), jnp.int32),    # cluster flags (scalar)
@@ -508,7 +508,7 @@ def render_debug(
         out_specs=pl.BlockSpec((4, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n_tiles * R), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((16, R), jnp.float32),
+            pltpu.VMEM((18, R), jnp.float32),
             pltpu.VMEM((1, C_pad), jnp.int32),
             pltpu.SMEM((1, C_pad), jnp.int32),
             pltpu.SMEM((1, C_pad), jnp.int32),

@@ -337,7 +337,7 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int):
         # HBM slices DMA'd per cluster need a 128-aligned last dim.
         geom_in = jnp.pad(cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS)))
     scratch = [
-        pltpu.VMEM((16, R), jnp.float32),  # best-hit state + staged ray planes
+        pltpu.VMEM((18, R), jnp.float32),  # best-hit rows + staged rays + p2 bound
         pltpu.VMEM((1, C_pad), jnp.int32),
         pltpu.SMEM((1, C_pad), jnp.int32),
         pltpu.SMEM((1, C_pad), jnp.int32),
