@@ -458,22 +458,38 @@ def render_wavefront(
     group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
 
     if cfg.max_depth > 1:
+        # Bounce-stage tile/sub-packet experiment knobs: COSIG_WF_RB sets
+        # the bounce tile size (must divide the primary tile; default =
+        # primary R), COSIG_WF_SB its sub-packet count. Compacted bounce
+        # rays are octant-sorted in GROUP(=128)-ray blocks, so Rb/Sb ==
+        # GROUP gives SINGLE-OCTANT sub-packets whose direction hulls are
+        # sign-uniform — the granularity at which bounce-stage frustum
+        # culling (COSIG_BOUNCE_FRUSTUM=1) becomes tight.
+        Rb = int(_os.environ.get("COSIG_WF_RB", "0")) or R
+        assert R % Rb == 0 and Rb % 128 == 0, Rb
+        Sb = int(_os.environ.get("COSIG_WF_SB", "0")) or max(1, Rb // SUB_LANES)
+        assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)
         kernel = _make_bounce_kernel(cfg, dims, stream, prim_counts,
-                                     subpackets, R)
+                                     Sb, Rb)
+        b_scratch = (
+            scratch if Rb == R
+            else _stage_resources(cset, stream, Rb)[3]
+        )
 
         def run_prefix(st, uni_d, pt):
             P = pt * R
             sub = jax.lax.slice(st, (0, 0), (ROWS, P))
             out = pl.pallas_call(
                 kernel,
-                grid=(pt,),
+                grid=(pt * (R // Rb),),
                 in_specs=geom_specs
-                + [pl.BlockSpec((ROWS, R), lambda i: (0, i),
+                + [pl.BlockSpec((ROWS, Rb), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i),
+                out_specs=pl.BlockSpec((ROWS, Rb), lambda i: (0, i),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((ROWS, P), jnp.float32),
-                scratch_shapes=scratch + [pltpu.VMEM((ROWS, R), jnp.float32)],
+                scratch_shapes=b_scratch
+                + [pltpu.VMEM((ROWS, Rb), jnp.float32)],
                 interpret=interpret,
                 compiler_params=COMPILER_PARAMS,
             )(uni_d, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
