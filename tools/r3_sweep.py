@@ -1,0 +1,113 @@
+"""Round-3 same-window experiment sweep.
+
+Runs bench.py in subprocesses (one per setting — env knobs are read at
+import) and appends one JSON line per run to tools/r3_sweep_results.jsonl.
+Order within a stage is back-to-back so comparisons stay same-window
+(CLAUDE.md tunnel hazard #3). Run only in a HEALTHY window
+(tools/tpu_health.py).
+
+Usage: python tools/r3_sweep.py [stageA|stageB|stageC|stageD|...]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+OUT = os.path.join(os.path.dirname(__file__), "r3_sweep_results.jsonl")
+
+# (label, config, env)
+STAGES = {
+    # Validation: compile-time drop + no perf regression on the new code.
+    "stageA": [
+        ("mirror-base", "mirror_sphere", {}),
+        ("glass-base", "glass_sphere", {}),
+    ],
+    # Direction sweep on the cheapest multi-bounce config.
+    "stageB": [
+        ("mirror-base2", "mirror_sphere", {}),
+        ("mirror-K16", "mirror_sphere", {"COSIG_K": "16"}),
+        ("mirror-K8", "mirror_sphere", {"COSIG_K": "8"}),
+        ("mirror-KP8", "mirror_sphere", {"COSIG_K_PRIMARY": "8"}),
+        ("mirror-KP16", "mirror_sphere", {"COSIG_K_PRIMARY": "16"}),
+        ("mirror-P2", "mirror_sphere", {"COSIG_PHASE2": "1"}),
+        (
+            "mirror-P2-KP8",
+            "mirror_sphere",
+            {"COSIG_PHASE2": "1", "COSIG_K_PRIMARY": "8"},
+        ),
+    ],
+    # large_mesh: bounce-stage granularity + cluster size.
+    "stageC": [
+        ("large-base", "large_mesh", {}),
+        (
+            "large-RB1024",
+            "large_mesh",
+            {"COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
+             "COSIG_BOUNCE_FRUSTUM": "1"},
+        ),
+        ("large-K16", "large_mesh", {"COSIG_K": "16"}),
+        ("large-KP8", "large_mesh", {"COSIG_K_PRIMARY": "8"}),
+        ("large-P2", "large_mesh", {"COSIG_PHASE2": "1"}),
+    ],
+    # Hardware stage decomposition at the current design point.
+    "stageP": [
+        ("glass-full", "glass_sphere", {}),
+        ("glass-nomt", "glass_sphere", {"COSIG_STUB": "mt"}),
+        ("glass-novisit", "glass_sphere", {"COSIG_STUB": "visit"}),
+        ("glass-notrav", "glass_sphere", {"COSIG_STUB": "trav"}),
+        ("glass-noshadow", "glass_sphere", {"COSIG_STUB": "shadow"}),
+        ("glass-noshade", "glass_sphere", {"COSIG_STUB": "shade"}),
+        ("large-full", "large_mesh", {}),
+        ("large-nomt", "large_mesh", {"COSIG_STUB": "mt"}),
+        ("large-novisit", "large_mesh", {"COSIG_STUB": "visit"}),
+        ("large-notrav", "large_mesh", {"COSIG_STUB": "trav"}),
+        ("large-noshadow", "large_mesh", {"COSIG_STUB": "shadow"}),
+    ],
+    # Winners -> glass headline (fill in after B/C).
+    "stageD": [
+        ("glass-base2", "glass_sphere", {}),
+        ("glass-KP8", "glass_sphere", {"COSIG_K_PRIMARY": "8"}),
+        ("glass-P2", "glass_sphere", {"COSIG_PHASE2": "1"}),
+        (
+            "glass-P2-KP8",
+            "glass_sphere",
+            {"COSIG_PHASE2": "1", "COSIG_K_PRIMARY": "8"},
+        ),
+    ],
+}
+
+
+def run_one(label: str, config: str, env_extra: dict) -> dict:
+    env = dict(os.environ, **env_extra)
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--config", config,
+         "--backend", "wavefront", "--emit-details"],
+        capture_output=True, text=True, timeout=2400, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+    try:
+        rec = json.loads(line)
+    except json.JSONDecodeError:
+        rec = {"error": (out.stderr or out.stdout)[-400:]}
+    rec.update(label=label, env=env_extra, wall_s=round(time.time() - t0, 1),
+               ts=time.strftime("%H:%M:%S"))
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    keys = ("ms_per_frame", "mrays_per_s", "compile_s", "rmse_vs_oracle")
+    print(label, {k: rec.get(k) for k in keys}, flush=True)
+    return rec
+
+
+def main():
+    for stage in sys.argv[1:] or ["stageA"]:
+        print(f"=== {stage} ===", flush=True)
+        for label, config, env in STAGES[stage]:
+            run_one(label, config, env)
+
+
+if __name__ == "__main__":
+    main()
