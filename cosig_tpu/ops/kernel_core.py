@@ -58,7 +58,7 @@ _STUB = os.environ.get("COSIG_STUB")
 # per-ray entry >= hull entry > bound >= that ray's best), and occlusion
 # is monotone. The amortized form of the reference's pop-time best-t
 # early-out (BVHRayTracing.compute:245-246) at packet granularity.
-_PHASE2 = os.environ.get("COSIG_PHASE2") == "1"
+_PHASE2 = os.environ.get("COSIG_PHASE2", "")  # "1"=both, "shadow"=any-hit
 _P2_TAU = np.float32(float(os.environ.get("COSIG_PHASE2_TAU", "0.5")))
 
 from cosig_tpu.accel import clusters as cl
@@ -412,7 +412,14 @@ def make_traverse(
         # against each sub-packet's worst current best-t (closest-hit) or
         # remaining unoccluded lanes (any-hit) before visiting it. Exact:
         # see the _PHASE2 note at module top.
-        phases = 2 if (_PHASE2 and frustum and n_blocks == 1) else 1
+        # "shadow" restricts the split to any-hit (shadow) traversals: the
+        # host cull model shows quad-granularity ordered early-termination
+        # saves zero visits on closest-hit primaries, while the
+        # all-lanes-occluded skip has no such bound.
+        p2_on = _PHASE2 == "1" or (
+            _PHASE2 == "shadow" and any_hit
+        ) or (_PHASE2 == "closest" and not any_hit)
+        phases = 2 if (p2_on and frustum and n_blocks == 1) else 1
         flags_row = entries = near = None
         for phase in range(phases):
 

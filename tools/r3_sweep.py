@@ -32,6 +32,7 @@ STAGES = {
         ("mirror-KP8", "mirror_sphere", {"COSIG_K_PRIMARY": "8"}),
         ("mirror-KP16", "mirror_sphere", {"COSIG_K_PRIMARY": "16"}),
         ("mirror-P2", "mirror_sphere", {"COSIG_PHASE2": "1"}),
+        ("mirror-P2sh", "mirror_sphere", {"COSIG_PHASE2": "shadow"}),
         (
             "mirror-P2-KP8",
             "mirror_sphere",
