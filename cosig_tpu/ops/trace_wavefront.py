@@ -100,8 +100,15 @@ LIVE_ROWS = 17  # rows 0-16 carry data; 17-23 are alignment pad (always 0)
 
 
 def _quad_grid(S: int):
-    """Sub-packet arrangement inside a pixel block: (rows, cols)."""
-    return {1: (1, 1), 2: (2, 1), 4: (2, 2), 8: (4, 2)}[S]
+    """Sub-packet arrangement inside a pixel block: (rows, cols).
+
+    S=8 is (2, 4), not (4, 2): _primary_block returns (h, w) with h <= w
+    (w = 2h at non-square ray counts), so splitting the WIDE axis more
+    keeps quads square — e.g. R=8192 aa=4 gives a (32, 64)-pixel block
+    whose (2, 4) grid yields square 16x16-pixel sub-packet footprints
+    (the (4, 2) grid's 8x32 stretch is what regressed the round-2
+    R=8192 experiment)."""
+    return {1: (1, 1), 2: (2, 1), 4: (2, 2), 8: (2, 4)}[S]
 
 
 def _primary_block(aa: int, tile_rays: int = None):

@@ -33,6 +33,7 @@ STAGES = {
         ("mirror-KP16", "mirror_sphere", {"COSIG_K_PRIMARY": "16"}),
         ("mirror-P2", "mirror_sphere", {"COSIG_PHASE2": "1"}),
         ("mirror-P2sh", "mirror_sphere", {"COSIG_PHASE2": "shadow"}),
+        ("mirror-R8192", "mirror_sphere", {"COSIG_WF_R": "8192"}),
         (
             "mirror-P2-KP8",
             "mirror_sphere",
