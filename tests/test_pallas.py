@@ -361,3 +361,24 @@ def test_wavefront_mixed_granularity_exact(scene1):
     )
     assert float(r0) == float(r1)
     assert np.abs(np.asarray(mixed) - np.asarray(base)).max() == 0.0
+
+
+@pytest.mark.parametrize("tr", [2048, 8192])
+def test_wavefront_tile_rays_exact(scene1, tr):
+    """Different wavefront tile sizes must not change images or ray
+    counts (conservative hulls only add non-winning candidates)."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(resolution_override=(32, 32), max_depth=2)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    img, r1 = trace_wavefront.render_wavefront(
+        cs, params, cfg, interpret=True, tile_rays=tr
+    )
+    assert float(r0) == float(r1)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(base), atol=2e-6
+    )
