@@ -65,6 +65,9 @@ CULL_BLOCK = 512  # clusters per cull block (lane-aligned; see trace_pallas)
 MAX_SUPERBLOCKS = 128  # sb_aabb_t lane width -> up to 64k clusters
 
 
+SUBGROUP = 8  # triangles per sub-AABB (second cluster level)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class ClusterSet:
@@ -73,6 +76,13 @@ class ClusterSet:
     sb_aabb_t: jax.Array  # [8, 128] f32: superblock (CULL_BLOCK clusters) unions
     mats: jax.Array  # [M, 8] f32
     num_triangles: int  # real (unpadded) triangle count
+    # [G*8, C_pad] f32: per-cluster SUBGROUP-triangle sub-AABBs (second
+    # cluster level): rows [g*8, g*8+8) are the six box components (+2 pad
+    # rows) of sub-box g, covering geometry rows [g*8, (g+1)*8). Finer
+    # boxes over the SAME geometry: the visit loop intersects only
+    # surviving 8-triangle slices (the reference's <=4-tris-per-leaf
+    # economy at packet granularity, BVHBuilder.cs:58).
+    sub_aabb_t: jax.Array = None
 
     @property
     def num_clusters(self) -> int:
@@ -82,15 +92,20 @@ class ClusterSet:
     def k(self) -> int:
         return int(self.geom.shape[1])
 
+    @property
+    def subgroups(self) -> int:
+        return 1 if self.sub_aabb_t is None else self.sub_aabb_t.shape[0] // 8
+
     def tree_flatten(self):
         return (
-            (self.geom, self.aabb_t, self.sb_aabb_t, self.mats),
+            (self.geom, self.aabb_t, self.sb_aabb_t, self.mats,
+             self.sub_aabb_t),
             (self.num_triangles,),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0])
+        return cls(*children[:4], aux[0], children[4])
 
 
 def _superblock_aabbs(aabb_t: np.ndarray) -> np.ndarray:
@@ -145,6 +160,7 @@ def build_clusters(
         )
 
     t = tris.count
+    n_sub = k // SUBGROUP if (k % SUBGROUP == 0 and k > SUBGROUP) else 1
     if t == 0:
         geom = np.zeros((1, k, GEOM_COMPS), F32)
         geom[:, :, GID] = GID_PAD
@@ -158,6 +174,7 @@ def build_clusters(
             sb_aabb_t=jnp.asarray(_superblock_aabbs(aabb_t)),
             mats=jnp.asarray(_pack_materials(arrays, mats_host)),
             num_triangles=0,
+            sub_aabb_t=jnp.asarray(np.full((8 * n_sub, 128), np.nan, F32)),
         )
 
     bvh = build_bvh(tris, max_leaf=k)
@@ -190,6 +207,7 @@ def build_clusters(
     # passes them, and the compaction loop stops at the real cluster
     # count C, so they are never visited.
     aabb_t = np.full((8, c_pad), np.nan, F32)
+    sub_aabb_t = np.full((8 * n_sub, c_pad), np.nan, F32)
     rt = bvh.triangles
     from cosig_tpu.ops.intersect import plucker_constants_host
 
@@ -229,6 +247,25 @@ def build_clusters(
         pad = F32(1e-4) + F32(1e-5) * (vmax - vmin)
         aabb_t[0:3, ci] = vmin - pad
         aabb_t[3:6, ci] = vmax + pad
+        # Second level: sub-AABBs over SUBGROUP-triangle slices of this
+        # cluster (BVH order keeps them spatially coherent). Same
+        # conservative inflation; empty slices stay NaN (conservatively
+        # passed by the cull but their rows can never win).
+        if n_sub > 1:
+            for gi in range(n_sub):
+                s0 = gi * SUBGROUP
+                cnt = min(SUBGROUP, count - s0)
+                if cnt <= 0:
+                    continue
+                ssl = slice(first + s0, first + s0 + cnt)
+                sv = np.concatenate(
+                    [rt.v0[ssl], rt.v1[ssl], rt.v2[ssl]], axis=0
+                )
+                smin = sv.min(axis=0)
+                smax = sv.max(axis=0)
+                spad = F32(1e-4) + F32(1e-5) * (smax - smin)
+                sub_aabb_t[gi * 8 : gi * 8 + 3, ci] = smin - spad
+                sub_aabb_t[gi * 8 + 3 : gi * 8 + 6, ci] = smax + spad
 
     return ClusterSet(
         geom=jnp.asarray(geom),
@@ -236,4 +273,5 @@ def build_clusters(
         sb_aabb_t=jnp.asarray(_superblock_aabbs(aabb_t)),
         mats=jnp.asarray(_pack_materials(arrays, mats_host)),
         num_triangles=t,
+        sub_aabb_t=jnp.asarray(sub_aabb_t),
     )

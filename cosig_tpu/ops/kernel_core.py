@@ -61,6 +61,11 @@ _STUB = os.environ.get("COSIG_STUB")
 _PHASE2 = os.environ.get("COSIG_PHASE2", "")  # "1"=both, "shadow"=any-hit
 _P2_TAU = np.float32(float(os.environ.get("COSIG_PHASE2_TAU", "0.5")))
 
+# Second cluster level (sub-AABB visit granularity) experiment gate:
+# COSIG_SUBG=1 enables it wherever a traversal qualifies (frustum mode,
+# unstreamed geometry, cluster set built with sub-AABBs).
+_SUBG = os.environ.get("COSIG_SUBG") == "1"
+
 from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams
 from cosig_tpu.ops import rng
@@ -164,6 +169,7 @@ def make_traverse(
     sbflag_vmem, sb_smem, C, C_pad, K, R,
     gbuf=None, gsem=None, stream=False, subpackets=1,
     prims=None, n_sph=0, n_box=0, frustum=False,
+    sub_aabb_t=None, subgroups=1,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -231,6 +237,19 @@ def make_traverse(
     assert RS % 8 == 0  # sublane-aligned cull slices; lane-aligned MT needs
     LANE_OK = RS % 128 == 0  # static lane slices must be 128-aligned
     assert S == 1 or LANE_OK
+
+    # Second cluster level (sub-AABB visit granularity): the cull tests
+    # G sub-boxes per cluster and the visit loop intersects only the
+    # surviving 8-triangle geometry slices — the reference's
+    # <=4-tris-per-leaf pair economy (BVHBuilder.cs:58) without growing
+    # the scalar compaction loop past C. Coherent (frustum) packets only;
+    # streamed geometry keeps whole-cluster visits (a (c, g) list would
+    # re-DMA the cluster per subgroup).
+    G = subgroups if (_SUBG and frustum and not stream and subgroups > 1) else 1
+    if G > 1:
+        assert sub_aabb_t is not None and K % G == 0
+        assert G * S <= 32 and G <= 16 and C < 2 ** 18  # entry packing
+    KG = K // G  # geometry rows intersected per visit
 
     def traverse(ox, oy, oz, dx, dy, dz, active, max_t=None, any_hit=False):
         """``any_hit=True`` (shadow rays): only "is some hit at t <= max_t"
@@ -406,6 +425,52 @@ def make_traverse(
 
         flags_of = frustum_flags if frustum else cull
 
+        def detail_flags(cols):
+            """Visit bits for cluster columns ``cols``. G == 1: the plain
+            per-sub-packet bits. G > 1: bit (g*S + sp) set iff sub-packet
+            ``sp``'s frustum may enter sub-box ``g`` (bit 31 may set; all
+            scalar consumers test ``!= 0`` and mask after shifting)."""
+            if G == 1:
+                return flags_of(*(aabb_t[r : r + 1, cols] for r in range(6)))
+            m = None
+            for gi in range(G):
+                mg = frustum_flags(
+                    *(sub_aabb_t[gi * 8 + r : gi * 8 + r + 1, cols]
+                      for r in range(6))
+                )
+                if gi:
+                    mg = mg << (gi * S)
+                m = mg if m is None else m | mg
+            return m
+
+        def compact_entry(c, n):
+            """Scalar compaction of cluster ``c``'s flag word into the
+            visit list. G == 1: entry = c (S == 1) or (c << 8) | bits.
+            G > 1: one entry PER flagged subgroup —
+            (c << 12) | (g << 8) | sp_bits."""
+            f = flags_smem[0, c]
+            if G == 1:
+                @pl.when(f != 0)
+                def _():
+                    list_smem[0, n] = c if S == 1 else (c << 8) | f
+
+                return n + jnp.where(f != 0, 1, 0)
+
+            def emit_all(nn):
+                # Unrolled over subgroups; f may have bit 31 set, so test
+                # != 0 and mask after the arithmetic shift.
+                for g in range(G):
+                    bits = (f >> (g * S)) & ((1 << S) - 1)
+
+                    @pl.when(bits != 0)
+                    def _(nn=nn, bits=bits, g=g):
+                        list_smem[0, nn] = (c << 12) | (g << 8) | bits
+
+                    nn = nn + jnp.where(bits != 0, 1, 0)
+                return nn
+
+            return jax.lax.cond(f != 0, emit_all, lambda nn: nn, n)
+
         # Two-phase progressive cull (COSIG_PHASE2=1, frustum single-block
         # only): phase 0 visits clusters entered at <= tau (an entry-
         # distance split of the flagged set); phase 1 re-culls the far set
@@ -419,16 +484,13 @@ def make_traverse(
         p2_on = _PHASE2 == "1" or (
             _PHASE2 == "shadow" and any_hit
         ) or (_PHASE2 == "closest" and not any_hit)
-        phases = 2 if (p2_on and frustum and n_blocks == 1) else 1
+        phases = 2 if (p2_on and frustum and n_blocks == 1 and G == 1) else 1
         flags_row = entries = near = None
         for phase in range(phases):
 
             if n_blocks == 1:
                 if phases == 1:
-                    flag_vmem[:, :] = flags_of(
-                        aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
-                        aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
-                    )
+                    flag_vmem[:, :] = detail_flags(slice(None))
                 elif phase == 0:
                     flags_row, entries = frustum_flags(
                         aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
@@ -484,17 +546,7 @@ def make_traverse(
                 copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
                 copy.start()
                 copy.wait()
-
-                def compact(c, n):
-                    f = flags_smem[0, c]
-
-                    @pl.when(f > 0)
-                    def _():
-                        list_smem[0, n] = c if S == 1 else (c << 8) | f
-
-                    return n + jnp.where(f > 0, 1, 0)
-
-                n_hit = jax.lax.fori_loop(0, C, compact, 0)
+                n_hit = jax.lax.fori_loop(0, C, compact_entry, 0)
             else:
                 # Hierarchical cull for large scenes: the (R, C_pad) slab test
                 # would blow VMEM, so test CULL_BLOCK-cluster superblock unions
@@ -516,13 +568,8 @@ def make_traverse(
                     @pl.when(sb_smem[0, b] > 0)
                     def _():
                         off = b * GB
-                        flag_vmem[:, pl.ds(off, GB)] = flags_of(
-                            aabb_t[0:1, pl.ds(off, GB)],
-                            aabb_t[1:2, pl.ds(off, GB)],
-                            aabb_t[2:3, pl.ds(off, GB)],
-                            aabb_t[3:4, pl.ds(off, GB)],
-                            aabb_t[4:5, pl.ds(off, GB)],
-                            aabb_t[5:6, pl.ds(off, GB)],
+                        flag_vmem[:, pl.ds(off, GB)] = detail_flags(
+                            pl.ds(off, GB)
                         )
 
                     return 0
@@ -536,18 +583,11 @@ def make_traverse(
                 def sb_compact(s, n):
                     hi = jnp.minimum((s + 1) * GB, C)
 
-                    def inner(c, n2):
-                        fc = flags_smem[0, c]
-
-                        @pl.when(fc > 0)
-                        def _():
-                            list_smem[0, n2] = c if S == 1 else (c << 8) | fc
-
-                        return n2 + jnp.where(fc > 0, 1, 0)
-
                     return jax.lax.cond(
                         sb_smem[0, s] > 0,
-                        lambda nn: jax.lax.fori_loop(s * GB, hi, inner, nn),
+                        lambda nn: jax.lax.fori_loop(
+                            s * GB, hi, compact_entry, nn
+                        ),
                         lambda nn: nn,
                         n,
                     )
@@ -556,6 +596,8 @@ def make_traverse(
 
             # ---- stage 3: intersect only the hit clusters ----
             def _cid(entry):
+                if G > 1:
+                    return entry >> 12
                 return entry if S == 1 else entry >> 8
 
             # Per-sub-packet ray-plane windows, loaded ONCE per traversal
@@ -601,6 +643,15 @@ def make_traverse(
 
                     _gdma(i, slot).wait()
                     g = gbuf[slot]  # (K, comps)
+                elif G > 1:
+                    # Only the flagged subgroup's 8-row geometry slice
+                    # (sublane-aligned dynamic offset).
+                    gsub = (entry >> 8) & 0xF
+                    g = geom[
+                        _cid(entry),
+                        pl.ds(pl.multiple_of(gsub * KG, KG), KG),
+                        :,
+                    ]
                 else:
                     g = geom[_cid(entry)]  # (K, GEOM_COMPS)
                 gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
@@ -709,12 +760,14 @@ def make_traverse(
                 if S == 1:
                     mt(0, R)
                 else:
-                    # Per-sub-packet visit bits: skip the (K, R/S) intersection
-                    # for sub-packets whose every ray already failed the
-                    # (inflated) slab test — the reference's per-ray traversal
-                    # granularity, packet-shaped (compute:225-267).
+                    # Per-sub-packet visit bits: skip the intersection for
+                    # sub-packets whose every ray already failed the
+                    # (inflated) box test — the reference's per-ray
+                    # traversal granularity, packet-shaped
+                    # (compute:225-267). The low 8 entry bits are the
+                    # sp bits in both packings.
                     for sp in range(S):
-                        @pl.when(((entry >> sp) & 1) > 0)
+                        @pl.when((((entry & 0xFF) >> sp) & 1) > 0)
                         def _(sp=sp):
                             mt(sp * RS, RS, sub_rays[sp])
                 return 0

@@ -104,7 +104,8 @@ def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
 
 
 def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, nbx: int,
-                 tile_w: int, tile_h: int, stream: bool, prim_counts=(0, 0)):
+                 tile_w: int, tile_h: int, stream: bool, prim_counts=(0, 0),
+                 n_subg: int = 1):
     """Build the megakernel body (all static config closed over)."""
 
     width, height = cfg.width, cfg.height
@@ -116,7 +117,7 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
     n_sph, n_box = prim_counts
 
     def kernel(
-        uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom,
+        uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t, geom,
         out_ref, best_ref, state, flag_vmem, flags_smem, list_smem, sem,
         gbuf, gsem, sbflag_vmem, sb_smem,
     ):
@@ -158,6 +159,7 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
             prims=prims, n_sph=n_sph, n_box=n_box, frustum=True,
+            sub_aabb_t=sub_aabb_t, subgroups=n_subg,
         )
 
         # ------------------------------------------------------------------
@@ -308,7 +310,8 @@ def render_clusters(
     if prims is None:
         prims = jnp.zeros((1, 22), jnp.float32)
     kernel = _make_kernel(
-        cfg, C, C_pad, K, M, L, nbx, tile_w, tile_h, stream, prim_counts
+        cfg, C, C_pad, K, M, L, nbx, tile_w, tile_h, stream, prim_counts,
+        cset.subgroups,
     )
     geom_in = cset.geom
     if stream:
@@ -330,6 +333,8 @@ def render_clusters(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # analytic prims
             pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * cset.subgroups, C_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # sub-AABBs (2nd level)
             pl.BlockSpec(
                 memory_space=pltpu.HBM
             ) if stream else pl.BlockSpec(
@@ -343,7 +348,7 @@ def render_clusters(
             pltpu.VMEM((STATE_ROWS, R), jnp.float32),  # ray state (kernel_core rows)
             pltpu.VMEM((1, C_pad), jnp.int32),    # cluster flags (vector)
             pltpu.SMEM((1, C_pad), jnp.int32),    # cluster flags (scalar)
-            pltpu.SMEM((1, C_pad), jnp.int32),    # compacted hit list
+            pltpu.SMEM((1, C_pad * cset.subgroups), jnp.int32),  # visit list
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),  # stream buffers
             pltpu.SemaphoreType.DMA((2,)),        # stream semaphores
@@ -352,7 +357,8 @@ def render_clusters(
         ],
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,
-    )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
+    )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
+      cset.sub_aabb_t, geom_in)
 
     # Un-tile (quad-major lane order, see _make_kernel):
     # [4, nby, nbx, sqh, sqw, qh, qw] -> [H, W, 4]; rgb + ray count.
@@ -379,7 +385,7 @@ def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False,
 
 
 def _make_debug_kernel(cfg: StaticConfig, C, C_pad, K, nbx,
-                       tile_w, tile_h, stream, prim_counts):
+                       tile_w, tile_h, stream, prim_counts, n_subg=1):
     """Debug visualization kernel: one center ray per pixel, one traversal,
     mode 1=depth 2=normals 3=hit (compute:484-508). The reference always
     shoots a *perspective* center ray here regardless of the ortho toggle
@@ -390,8 +396,8 @@ def _make_debug_kernel(cfg: StaticConfig, C, C_pad, K, nbx,
     qh, qw = tile_h // sqh, tile_w // sqw
     n_sph, n_box = prim_counts
 
-    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom,
-               out_ref, best_ref, flag_vmem, flags_smem, list_smem, sem,
+    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
+               geom, out_ref, best_ref, flag_vmem, flags_smem, list_smem, sem,
                gbuf, gsem, sbflag_vmem, sb_smem):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -427,6 +433,7 @@ def _make_debug_kernel(cfg: StaticConfig, C, C_pad, K, nbx,
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
             prims=prims, n_sph=n_sph, n_box=n_box, frustum=True,
+            sub_aabb_t=sub_aabb_t, subgroups=n_subg,
         )
         hit, t, nx, ny, nz, _ = traverse(
             ox, oy, oz, dx, dy, dz, jnp.ones((1, R), bool)
@@ -487,7 +494,8 @@ def render_debug(
             cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS))
         )
     kernel = _make_debug_kernel(
-        cfg, C, C_pad, K, nbx, tile_w, tile_h, stream, prim_counts
+        cfg, C, C_pad, K, nbx, tile_w, tile_h, stream, prim_counts,
+        cset.subgroups,
     )
     out = pl.pallas_call(
         kernel,
@@ -499,6 +507,8 @@ def render_debug(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * cset.subgroups, C_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # sub-AABBs (2nd level)
             pl.BlockSpec(
                 memory_space=pltpu.HBM
             ) if stream else pl.BlockSpec(
@@ -511,7 +521,7 @@ def render_debug(
             pltpu.VMEM((18, R), jnp.float32),
             pltpu.VMEM((1, C_pad), jnp.int32),
             pltpu.SMEM((1, C_pad), jnp.int32),
-            pltpu.SMEM((1, C_pad), jnp.int32),
+            pltpu.SMEM((1, C_pad * cset.subgroups), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -520,7 +530,8 @@ def render_debug(
         ],
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,
-    )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t, geom_in)
+    )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
+      cset.sub_aabb_t, geom_in)
 
     _, sqh, sqw = _subpacket_grid(tile_h, tile_w, C_pad)
     qh, qw = tile_h // sqh, tile_w // sqw

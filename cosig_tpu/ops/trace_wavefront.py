@@ -125,15 +125,15 @@ def _primary_block(aa: int, tile_rays: int = None):
 
 def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                          prim_counts=(0, 0), subpackets=1, R=R):
-    C, C_pad, K, M, L = dims
+    C, C_pad, K, M, L, n_subg = dims
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
     grid_w, grid_h = camera.aa_grid(aa)
     bh, bw = _primary_block(aa, R)
     n_sph, n_box = prim_counts
 
-    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom, state,
-               best_ref, flag_vmem, flags_smem, list_smem, sem,
+    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
+               geom, state, best_ref, flag_vmem, flags_smem, list_smem, sem,
                sbflag_vmem, sb_smem, gbuf, gsem):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -227,6 +227,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
             prims=prims, n_sph=n_sph, n_box=n_box,
+            sub_aabb_t=sub_aabb_t, subgroups=n_subg,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
@@ -249,7 +250,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
     final-bounce flag are SMEM uniforms (U_DEPTH / U_LAST), not trace-time
     constants — cutting the wavefront compile ladder from
     (max_depth-1) x levels Mosaic payloads to just levels."""
-    C, C_pad, K, M, L = dims
+    C, C_pad, K, M, L, n_subg = dims
     n_sph, n_box = prim_counts
     # Experiment knob: frustum-cull bounce stages too. Compacted bounce
     # packets are octant-uniform (sign-uniform direction hulls) and
@@ -257,9 +258,9 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
     # measure before enabling (default off).
     bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
 
-    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, geom, state_in,
-               state_out, best_ref, flag_vmem, flags_smem, list_smem, sem,
-               sbflag_vmem, sb_smem, gbuf, gsem, state):
+    def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
+               geom, state_in, state_out, best_ref, flag_vmem, flags_smem,
+               list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, state):
         state[:, :] = state_in[:, :]
         any_alive = jnp.sum(state[12:13]) > F(0.0)
 
@@ -273,6 +274,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                 list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
                 gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
                 prims=prims, n_sph=n_sph, n_box=n_box,
+                sub_aabb_t=sub_aabb_t, subgroups=n_subg,
                 frustum=bounce_frustum,
             )
             bounce_core(
@@ -337,6 +339,7 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int):
     exact."""
     C, K = cset.num_clusters, cset.k
     C_pad = int(cset.aabb_t.shape[1])
+    n_subg = cset.subgroups
     if stream is None:
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
     geom_in = cset.geom
@@ -347,7 +350,8 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int):
         pltpu.VMEM((18, R), jnp.float32),  # best-hit rows + staged rays + p2 bound
         pltpu.VMEM((1, C_pad), jnp.int32),
         pltpu.SMEM((1, C_pad), jnp.int32),
-        pltpu.SMEM((1, C_pad), jnp.int32),
+        # Visit list: up to G entries per cluster at subgroup granularity.
+        pltpu.SMEM((1, C_pad * max(1, n_subg)), jnp.int32),
         pltpu.SemaphoreType.DMA,
         pltpu.VMEM((1, 128), jnp.int32),
         pltpu.SMEM((1, 128), jnp.int32),
@@ -361,13 +365,15 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int):
         pl.BlockSpec(memory_space=pltpu.SMEM),  # analytic prims
         pl.BlockSpec((8, C_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8 * max(1, n_subg), C_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),  # sub-AABBs (2nd level)
         pl.BlockSpec(
             memory_space=pltpu.HBM
         ) if stream else pl.BlockSpec(
             (C, K, cl.GEOM_COMPS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
     ]
-    return (C, C_pad, K), stream, geom_in, scratch, geom_specs
+    return (C, C_pad, K, n_subg), stream, geom_in, scratch, geom_specs
 
 
 def render_wavefront(
@@ -421,19 +427,19 @@ def render_wavefront(
     if prims is None:
         prims = jnp.zeros((1, 22), jnp.float32)
 
-    (C, C_pad, K), stream, geom_in, scratch, geom_specs = _stage_resources(
-        cset, stream, R
+    (C, C_pad, K, n_subg), stream, geom_in, scratch, geom_specs = (
+        _stage_resources(cset, stream, R)
     )
-    dims = (C, C_pad, K, M, L)
+    dims = (C, C_pad, K, M, L, n_subg)
 
     # ---- primary stage (optionally on a finer cluster set) ----
     pcs = cset_primary if cset_primary is not None else cset
-    (pC, pC_pad, pK), p_stream, p_geom_in, p_scratch, p_geom_specs = (
+    (pC, pC_pad, pK, p_subg), p_stream, p_geom_in, p_scratch, p_geom_specs = (
         _stage_resources(pcs, None if cset_primary is not None else stream, R)
     )
     state = pl.pallas_call(
-        _make_primary_kernel(cfg, (pC, pC_pad, pK, M, L), nbx, band, p_stream,
-                             prim_counts, subpackets, R),
+        _make_primary_kernel(cfg, (pC, pC_pad, pK, M, L, p_subg), nbx, band,
+                             p_stream, prim_counts, subpackets, R),
         grid=(n_tiles,),
         in_specs=p_geom_specs,
         out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -441,7 +447,8 @@ def render_wavefront(
         scratch_shapes=p_scratch,
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,
-    )(uniforms, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t, p_geom_in)
+    )(uniforms, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t,
+      pcs.sub_aabb_t, p_geom_in)
 
     # ---- bounce stages with compaction between ----
     # Alive groups are compacted to a prefix, so the bounce kernel only
@@ -500,7 +507,7 @@ def render_wavefront(
                 interpret=interpret,
                 compiler_params=COMPILER_PARAMS,
             )(uni_d, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
-              geom_in, sub)
+              cset.sub_aabb_t, geom_in, sub)
             return jax.lax.dynamic_update_slice(st, out, (0, 0))
 
         def at_extent(st, gp, uni_d, ext_tiles):

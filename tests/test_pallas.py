@@ -382,3 +382,24 @@ def test_wavefront_tile_rays_exact(scene1, tr):
     np.testing.assert_allclose(
         np.asarray(img), np.asarray(base), atol=2e-6
     )
+
+
+def test_subgroup_culling_exact(scene1, monkeypatch):
+    """COSIG_SUBG=1 (second cluster level: sub-AABB visit granularity)
+    must be BIT-exact: sub-box culling is conservative and the winner
+    fold is order/partition-invariant."""
+    import importlib
+
+    from cosig_tpu.ops import kernel_core, trace_wavefront
+
+    st = cosig_tpu.RenderSettings(resolution_override=(32, 32), max_depth=3)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    assert cs.subgroups == 4
+    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.setattr(kernel_core, "_SUBG", True)
+    img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    assert np.abs(np.asarray(img) - np.asarray(base)).max() == 0.0

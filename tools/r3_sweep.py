@@ -34,10 +34,12 @@ STAGES = {
         ("mirror-P2", "mirror_sphere", {"COSIG_PHASE2": "1"}),
         ("mirror-P2sh", "mirror_sphere", {"COSIG_PHASE2": "shadow"}),
         ("mirror-R8192", "mirror_sphere", {"COSIG_WF_R": "8192"}),
+        ("mirror-SUBG", "mirror_sphere", {"COSIG_SUBG": "1"}),
         (
-            "mirror-P2-KP8",
+            "mirror-SUBG-RB",
             "mirror_sphere",
-            {"COSIG_PHASE2": "1", "COSIG_K_PRIMARY": "8"},
+            {"COSIG_SUBG": "1", "COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
+             "COSIG_BOUNCE_FRUSTUM": "1"},
         ),
     ],
     # large_mesh: bounce-stage granularity + cluster size.
@@ -49,8 +51,13 @@ STAGES = {
             {"COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
              "COSIG_BOUNCE_FRUSTUM": "1"},
         ),
-        ("large-K16", "large_mesh", {"COSIG_K": "16"}),
-        ("large-KP8", "large_mesh", {"COSIG_K_PRIMARY": "8"}),
+        ("large-SUBG", "large_mesh", {"COSIG_SUBG": "1"}),
+        (
+            "large-SUBG-RB",
+            "large_mesh",
+            {"COSIG_SUBG": "1", "COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
+             "COSIG_BOUNCE_FRUSTUM": "1"},
+        ),
         ("large-P2", "large_mesh", {"COSIG_PHASE2": "1"}),
     ],
     # Hardware stage decomposition at the current design point.
@@ -70,13 +77,14 @@ STAGES = {
     # Winners -> glass headline (fill in after B/C).
     "stageD": [
         ("glass-base2", "glass_sphere", {}),
-        ("glass-KP8", "glass_sphere", {"COSIG_K_PRIMARY": "8"}),
-        ("glass-P2", "glass_sphere", {"COSIG_PHASE2": "1"}),
+        ("glass-SUBG", "glass_sphere", {"COSIG_SUBG": "1"}),
         (
-            "glass-P2-KP8",
+            "glass-SUBG-RB",
             "glass_sphere",
-            {"COSIG_PHASE2": "1", "COSIG_K_PRIMARY": "8"},
+            {"COSIG_SUBG": "1", "COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
+             "COSIG_BOUNCE_FRUSTUM": "1"},
         ),
+        ("glass-P2sh", "glass_sphere", {"COSIG_PHASE2": "shadow"}),
     ],
 }
 
