@@ -12,6 +12,7 @@ Usage: python bench.py [--config NAME] [--backend pallas|xla] [--all]
 from __future__ import annotations
 
 import argparse
+import os
 import functools
 import json
 import sys
@@ -52,7 +53,7 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     # lengths and taking the slope cancels ALL per-dispatch overhead —
     # which on tunneled TPUs is large, variable, and mode-dependent.
     if backend in ("pallas", "wavefront"):
-        import os
+
 
         tris = extract_triangles(scene)
         mats = np.concatenate(materials_host(scene), axis=1)
@@ -158,8 +159,13 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
 
     # Accuracy gate (BASELINE: <=1e-3 RMSE): pallas vs the XLA oracle at a
     # reduced resolution (full-res brute force would dwarf the bench).
+    # COSIG_BENCH_NO_RMSE=1 skips it (A/B sweeps on degraded tunnels,
+    # where the oracle compile+readback dominates the run; bit-exactness
+    # of the knob configs is separately gated by tests).
     rmse = None
-    if backend in ("pallas", "wavefront"):
+    if os.environ.get("COSIG_BENCH_NO_RMSE") == "1":
+        pass
+    elif backend in ("pallas", "wavefront"):
         import dataclasses
 
         scale = max(1, max(cfg.width, cfg.height) // 256)
