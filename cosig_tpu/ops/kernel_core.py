@@ -248,7 +248,13 @@ def make_traverse(
     G = subgroups if (_SUBG and frustum and not stream and subgroups > 1) else 1
     if G > 1:
         assert sub_aabb_t is not None and K % G == 0
-        assert G * S <= 32 and G <= 16 and C < 2 ** 18  # entry packing
+        assert G * S <= 32 and C * G < 2 ** 23  # flag/entry packing
+        # Geometry must be passed SUBGROUP-MAJOR: (C*G, K/G, comps) — a
+        # free host-side reshape of the (C, K, comps) block. The visit
+        # loop then does a plain first-axis load per (c, g) entry; an
+        # in-kernel dynamic sublane slice of the parent block lowers
+        # catastrophically (measured 3.8x frame regression).
+        assert geom.shape[0] == C * G or stream, geom.shape
     KG = K // G  # geometry rows intersected per visit
 
     def traverse(ox, oy, oz, dx, dy, dz, active, max_t=None, any_hit=False):
@@ -458,13 +464,14 @@ def make_traverse(
 
             def emit_all(nn):
                 # Unrolled over subgroups; f may have bit 31 set, so test
-                # != 0 and mask after the arithmetic shift.
+                # != 0 and mask after the arithmetic shift. The emitted id
+                # is the SUBGROUP-MAJOR geometry row block c*G + g.
                 for g in range(G):
                     bits = (f >> (g * S)) & ((1 << S) - 1)
 
                     @pl.when(bits != 0)
                     def _(nn=nn, bits=bits, g=g):
-                        list_smem[0, nn] = (c << 12) | (g << 8) | bits
+                        list_smem[0, nn] = ((c * G + g) << 8) | bits
 
                     nn = nn + jnp.where(bits != 0, 1, 0)
                 return nn
@@ -596,9 +603,8 @@ def make_traverse(
 
             # ---- stage 3: intersect only the hit clusters ----
             def _cid(entry):
-                if G > 1:
-                    return entry >> 12
-                return entry if S == 1 else entry >> 8
+                # (G > 1 entries carry the subgroup-major block id c*G+g.)
+                return entry if (S == 1 and G == 1) else entry >> 8
 
             # Per-sub-packet ray-plane windows, loaded ONCE per traversal
             # (loop-invariant across cluster visits; loading inside the visit
@@ -643,17 +649,11 @@ def make_traverse(
 
                     _gdma(i, slot).wait()
                     g = gbuf[slot]  # (K, comps)
-                elif G > 1:
-                    # Only the flagged subgroup's 8-row geometry slice
-                    # (sublane-aligned dynamic offset).
-                    gsub = (entry >> 8) & 0xF
-                    g = geom[
-                        _cid(entry),
-                        pl.ds(pl.multiple_of(gsub * KG, KG), KG),
-                        :,
-                    ]
                 else:
-                    g = geom[_cid(entry)]  # (K, GEOM_COMPS)
+                    # (KG, comps) when G > 1 (subgroup-major geometry),
+                    # (K, comps) otherwise — a plain first-axis load in
+                    # both cases.
+                    g = geom[_cid(entry)]
                 gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
                 nda = g[:, 6:7]
                 gid = g[:, 35:36]

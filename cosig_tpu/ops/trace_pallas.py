@@ -159,7 +159,10 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
             prims=prims, n_sph=n_sph, n_box=n_box, frustum=True,
-            sub_aabb_t=sub_aabb_t, subgroups=n_subg,
+            # The megakernel's frustum and per-ray traversals share ONE
+            # geometry ref, so the subgroup-major layout can't apply here;
+            # subgroup visits are a wavefront-only optimization.
+            sub_aabb_t=sub_aabb_t, subgroups=1,
         )
 
         # ------------------------------------------------------------------
@@ -433,7 +436,10 @@ def _make_debug_kernel(cfg: StaticConfig, C, C_pad, K, nbx,
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
             prims=prims, n_sph=n_sph, n_box=n_box, frustum=True,
-            sub_aabb_t=sub_aabb_t, subgroups=n_subg,
+            # The megakernel's frustum and per-ray traversals share ONE
+            # geometry ref, so the subgroup-major layout can't apply here;
+            # subgroup visits are a wavefront-only optimization.
+            sub_aabb_t=sub_aabb_t, subgroups=1,
         )
         hit, t, nx, ny, nz, _ = traverse(
             ox, oy, oz, dx, dy, dz, jnp.ones((1, R), bool)

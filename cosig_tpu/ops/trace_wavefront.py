@@ -330,22 +330,32 @@ def _compact_prefix(state, group_perm, n_pad: int, eg: int):
     return state, group_perm, n_alive_g
 
 
-def _stage_resources(cset: cl.ClusterSet, stream, R: int):
+def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True):
     """Per-stage kernel resources for one cluster set -> (dims[:3], stream,
     geom_in, scratch, geom_specs). Stages may traverse DIFFERENT cluster
     granularities over the same triangle soup: the (t, gid) lexicographic
     winner fold is clustering-invariant (an associative/commutative min
     over the identical pair set), so mixing cluster sizes across stages is
-    exact."""
+    exact.
+
+    When the stage qualifies for subgroup visits (COSIG_SUBG, frustum,
+    unstreamed), the geometry is passed SUBGROUP-MAJOR — a free reshape
+    to (C*G, K/G, comps) so each visit is a plain first-axis load
+    (kernel_core packing note)."""
+    from cosig_tpu.ops import kernel_core as _kc
+
     C, K = cset.num_clusters, cset.k
     C_pad = int(cset.aabb_t.shape[1])
     n_subg = cset.subgroups
     if stream is None:
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
+    subg = _kc._SUBG and frustum and not stream and n_subg > 1
     geom_in = cset.geom
     if stream:
         # HBM slices DMA'd per cluster need a 128-aligned last dim.
         geom_in = jnp.pad(cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS)))
+    elif subg:
+        geom_in = cset.geom.reshape(C * n_subg, K // n_subg, cl.GEOM_COMPS)
     scratch = [
         pltpu.VMEM((18, R), jnp.float32),  # best-hit rows + staged rays + p2 bound
         pltpu.VMEM((1, C_pad), jnp.int32),
@@ -370,7 +380,7 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int):
         pl.BlockSpec(
             memory_space=pltpu.HBM
         ) if stream else pl.BlockSpec(
-            (C, K, cl.GEOM_COMPS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            tuple(geom_in.shape), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
     ]
     return (C, C_pad, K, n_subg), stream, geom_in, scratch, geom_specs
@@ -427,8 +437,9 @@ def render_wavefront(
     if prims is None:
         prims = jnp.zeros((1, 22), jnp.float32)
 
+    bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
     (C, C_pad, K, n_subg), stream, geom_in, scratch, geom_specs = (
-        _stage_resources(cset, stream, R)
+        _stage_resources(cset, stream, R, frustum=bounce_frustum)
     )
     dims = (C, C_pad, K, M, L, n_subg)
 
@@ -487,7 +498,7 @@ def render_wavefront(
                                      Sb, Rb)
         b_scratch = (
             scratch if Rb == R
-            else _stage_resources(cset, stream, Rb)[3]
+            else _stage_resources(cset, stream, Rb, frustum=bounce_frustum)[3]
         )
 
         def run_prefix(st, uni_d, pt):

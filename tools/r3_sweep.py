@@ -25,8 +25,8 @@ STAGES = {
         ("glass-base", "glass_sphere", {}),
     ],
     # Direction sweep on the cheapest multi-bounce config.
+    # (mirror-base2 already recorded: 4.105 ms/frame, 11:40 window.)
     "stageB": [
-        ("mirror-base2", "mirror_sphere", {}),
         ("mirror-K16", "mirror_sphere", {"COSIG_K": "16"}),
         ("mirror-K8", "mirror_sphere", {"COSIG_K": "8"}),
         ("mirror-KP8", "mirror_sphere", {"COSIG_K_PRIMARY": "8"}),
@@ -41,6 +41,18 @@ STAGES = {
             {"COSIG_SUBG": "1", "COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
              "COSIG_BOUNCE_FRUSTUM": "1"},
         ),
+    ],
+    # Combinations of stageB winners (R8192 quads + subgroup/K16 + P2sh).
+    "stageB2": [
+        ("mirror-R8-K16", "mirror_sphere",
+         {"COSIG_WF_R": "8192", "COSIG_K": "16"}),
+        ("mirror-R8-SUBG", "mirror_sphere",
+         {"COSIG_WF_R": "8192", "COSIG_SUBG": "1"}),
+        ("mirror-R8-SUBG-P2sh", "mirror_sphere",
+         {"COSIG_WF_R": "8192", "COSIG_SUBG": "1", "COSIG_PHASE2": "shadow"}),
+        ("mirror-R8-K16-P2sh", "mirror_sphere",
+         {"COSIG_WF_R": "8192", "COSIG_K": "16", "COSIG_PHASE2": "shadow"}),
+        ("mirror-base3", "mirror_sphere", {}),
     ],
     # large_mesh: bounce-stage granularity + cluster size.
     "stageC": [
