@@ -44,6 +44,7 @@ STAGES = {
     ],
     # Combinations of stageB winners (R8192 quads + subgroup/K16 + P2sh).
     "stageB2": [
+        ("mirror-SUBG2", "mirror_sphere", {"COSIG_SUBG": "1"}),
         ("mirror-R8-K16", "mirror_sphere",
          {"COSIG_WF_R": "8192", "COSIG_K": "16"}),
         ("mirror-R8-SUBG", "mirror_sphere",
@@ -54,7 +55,13 @@ STAGES = {
          {"COSIG_WF_R": "8192", "COSIG_K": "16", "COSIG_PHASE2": "shadow"}),
         ("mirror-base3", "mirror_sphere", {}),
     ],
-    # large_mesh: bounce-stage granularity + cluster size.
+    "stageB3": [
+        ("mirror-R8-P2sh", "mirror_sphere",
+         {"COSIG_WF_R": "8192", "COSIG_PHASE2": "shadow"}),
+        ("mirror-R8192b", "mirror_sphere", {"COSIG_WF_R": "8192"}),
+    ],
+    # large_mesh: bounce-stage granularity + cluster size (ABAB to cancel
+    # tunnel drift).
     "stageC": [
         ("large-base", "large_mesh", {}),
         (
@@ -63,14 +70,9 @@ STAGES = {
             {"COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
              "COSIG_BOUNCE_FRUSTUM": "1"},
         ),
-        ("large-SUBG", "large_mesh", {"COSIG_SUBG": "1"}),
-        (
-            "large-SUBG-RB",
-            "large_mesh",
-            {"COSIG_SUBG": "1", "COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
-             "COSIG_BOUNCE_FRUSTUM": "1"},
-        ),
-        ("large-P2", "large_mesh", {"COSIG_PHASE2": "1"}),
+        ("large-base2", "large_mesh", {}),
+        ("large-K16", "large_mesh", {"COSIG_K": "16"}),
+        ("large-base3", "large_mesh", {}),
     ],
     # Hardware stage decomposition at the current design point.
     "stageP": [
@@ -86,17 +88,20 @@ STAGES = {
         ("large-notrav", "large_mesh", {"COSIG_STUB": "trav"}),
         ("large-noshadow", "large_mesh", {"COSIG_STUB": "shadow"}),
     ],
-    # Winners -> glass headline (fill in after B/C).
+    # Glass headline ABAB (drift-cancelling).
     "stageD": [
         ("glass-base2", "glass_sphere", {}),
-        ("glass-SUBG", "glass_sphere", {"COSIG_SUBG": "1"}),
-        (
-            "glass-SUBG-RB",
-            "glass_sphere",
-            {"COSIG_SUBG": "1", "COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
-             "COSIG_BOUNCE_FRUSTUM": "1"},
-        ),
+        ("glass-R8192", "glass_sphere", {"COSIG_WF_R": "8192"}),
+        ("glass-base3", "glass_sphere", {}),
         ("glass-P2sh", "glass_sphere", {"COSIG_PHASE2": "shadow"}),
+        ("glass-base4", "glass_sphere", {}),
+        (
+            "glass-R8-P2sh",
+            "glass_sphere",
+            {"COSIG_WF_R": "8192", "COSIG_PHASE2": "shadow"},
+        ),
+        ("glass-base5", "glass_sphere", {}),
+        ("glass-K16", "glass_sphere", {"COSIG_K": "16"}),
     ],
 }
 
