@@ -79,22 +79,28 @@ SUB_LANES = 1024  # lanes per sub-packet (the old tile size)
 
 
 def _validate_tile_rays(r: int) -> int:
-    """Tile sizes must be SUB_LANES * S with S in {1, 2, 4, 8}: sub-packets
-    are static 128-aligned lane slices and the quad grid only supports
-    those S values (``_quad_grid``). Reject bad values at the knob instead
-    of deep inside kernel construction."""
-    if r % SUB_LANES != 0 or r // SUB_LANES not in (1, 2, 4, 8):
+    """Tile sizes must be SUB_LANES * {1, 2, 4, 8} or 16384 (8 sub-packets
+    of 2048 lanes — the visit-bit mask caps S at 8, so very large tiles
+    widen the sub-packet instead): sub-packets are static 128-aligned
+    lane slices and the quad grid only supports those S values
+    (``_quad_grid``). Reject bad values at the knob instead of deep
+    inside kernel construction."""
+    if r % SUB_LANES != 0 or r // SUB_LANES not in (1, 2, 4, 8, 16):
         raise ValueError(
             f"wavefront tile size must be {SUB_LANES}*S with S in "
-            f"{{1, 2, 4, 8}}; got {r} (COSIG_WF_R or tile_rays)"
+            f"{{1, 2, 4, 8, 16}}; got {r} (COSIG_WF_R or tile_rays)"
         )
     return r
+
+
+def _subpackets_for(r: int) -> int:
+    return min(8, r // SUB_LANES)
 
 
 # Default tile size; override per call via render_wavefront(tile_rays=...)
 # or process-wide via COSIG_WF_R (sweeps).
 R = _validate_tile_rays(int(_os.environ.get("COSIG_WF_R", "4096")))
-SUBPACKETS = R // SUB_LANES
+SUBPACKETS = _subpackets_for(R)
 ROWS = 24  # state rows (see module docstring)
 LIVE_ROWS = 17  # rows 0-16 carry data; 17-23 are alignment pad (always 0)
 
@@ -420,7 +426,7 @@ def render_wavefront(
     with cluster count). Exact: the winner fold is clustering-invariant
     (see ``_stage_resources``)."""
     R = _validate_tile_rays(tile_rays) if tile_rays is not None else globals()["R"]
-    subpackets = R // SUB_LANES
+    subpackets = _subpackets_for(R)
     width, height = cfg.width, cfg.height
     band = height if rows is None else rows
     aa = max(1, cfg.aa_samples)
@@ -492,7 +498,7 @@ def render_wavefront(
         # culling (COSIG_BOUNCE_FRUSTUM=1) becomes tight.
         Rb = int(_os.environ.get("COSIG_WF_RB", "0")) or R
         assert R % Rb == 0 and Rb % 128 == 0, Rb
-        Sb = int(_os.environ.get("COSIG_WF_SB", "0")) or max(1, Rb // SUB_LANES)
+        Sb = int(_os.environ.get("COSIG_WF_SB", "0")) or _subpackets_for(Rb)
         assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)
         kernel = _make_bounce_kernel(cfg, dims, stream, prim_counts,
                                      Sb, Rb)

@@ -363,7 +363,7 @@ def test_wavefront_mixed_granularity_exact(scene1):
     assert np.abs(np.asarray(mixed) - np.asarray(base)).max() == 0.0
 
 
-@pytest.mark.parametrize("tr", [2048, 8192])
+@pytest.mark.parametrize("tr", [2048, 8192, 16384])
 def test_wavefront_tile_rays_exact(scene1, tr):
     """Different wavefront tile sizes must not change images or ray
     counts (conservative hulls only add non-winning candidates)."""
