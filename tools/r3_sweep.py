@@ -88,6 +88,34 @@ STAGES = {
         ("large-notrav", "large_mesh", {"COSIG_STUB": "trav"}),
         ("large-noshadow", "large_mesh", {"COSIG_STUB": "shadow"}),
     ],
+    # large_mesh-only decomposition (stageP minus the glass rows).
+    "stagePL": [
+        ("large-full", "large_mesh", {}),
+        ("large-nomt", "large_mesh", {"COSIG_STUB": "mt"}),
+        ("large-novisit", "large_mesh", {"COSIG_STUB": "visit"}),
+        ("large-notrav", "large_mesh", {"COSIG_STUB": "trav"}),
+        ("large-noshadow", "large_mesh", {"COSIG_STUB": "shadow"}),
+        ("large-noshade", "large_mesh", {"COSIG_STUB": "shade"}),
+    ],
+    # large_mesh: bigger clusters (fewer, bigger visits — the direction the
+    # SUBG rejection points) + wide tiles, ABAB.
+    "stageK": [
+        ("large-base4", "large_mesh", {}),
+        ("large-K64", "large_mesh", {"COSIG_K": "64"}),
+        ("large-base5", "large_mesh", {}),
+        ("large-K128", "large_mesh", {"COSIG_K": "128"}),
+        ("large-base6", "large_mesh", {}),
+        ("large-R16384", "large_mesh", {"COSIG_WF_R": "16384"}),
+    ],
+    # Glass decomposition refresh at the current design point.
+    "stagePG": [
+        ("glass-full", "glass_sphere", {}),
+        ("glass-nomt", "glass_sphere", {"COSIG_STUB": "mt"}),
+        ("glass-novisit", "glass_sphere", {"COSIG_STUB": "visit"}),
+        ("glass-notrav", "glass_sphere", {"COSIG_STUB": "trav"}),
+        ("glass-noshadow", "glass_sphere", {"COSIG_STUB": "shadow"}),
+        ("glass-noshade", "glass_sphere", {"COSIG_STUB": "shade"}),
+    ],
     # Glass headline ABAB (drift-cancelling).
     "stageD": [
         ("glass-base2", "glass_sphere", {}),
