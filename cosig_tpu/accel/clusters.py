@@ -60,6 +60,41 @@ GID_PAD = F32(2 ** 24)
 
 DEFAULT_K = 32
 
+# MXU operand layout (geom_mx / ClusterSet docstring). Columns of the
+# per-cluster matmul matrix follow the kernel's raysmx staging rows:
+# 0:3 origin, 3:6 direction, 6:9 ray moment w, 9:15 zero, 15 constant 1.
+# Row groups of geom_mx[c] (5K, 16): [0,K) va, [K,2K) vb, [2K,3K) vc,
+# [3K,4K) s = d.n, [4K,5K) num = nda - o.n  (the t numerator, nda folded
+# in via the constant-1 column so t = num / s needs no extra subtract).
+MX_COLS = 16
+MX_PLANES = 5
+# gatt rows: 0 gid, 1 material, 2:5 n0, 5:8 n1, 8:11 n2, 11:16 zero.
+ATT_ROWS = 16
+
+
+def _pack_mx(geom: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack the MXU traversal operands from the finished geometry block.
+
+    Requires cluster rows sorted ascending by GID (build_clusters does
+    this): the kernel's row-index tie-break then equals the gid
+    tie-break, so per-pair gid columns are never needed on the MXU path.
+    """
+    c, k, _ = geom.shape
+    mx = np.zeros((c, MX_PLANES * k, MX_COLS), F32)
+    mx[:, 0 * k:1 * k, 3:9] = geom[:, :, VA:VA + 6]
+    mx[:, 1 * k:2 * k, 3:9] = geom[:, :, VB:VB + 6]
+    mx[:, 2 * k:3 * k, 3:9] = geom[:, :, VC:VC + 6]
+    mx[:, 3 * k:4 * k, 3:6] = geom[:, :, GN:GN + 3]
+    mx[:, 4 * k:5 * k, 0:3] = -geom[:, :, GN:GN + 3]
+    mx[:, 4 * k:5 * k, 15] = geom[:, :, NDA]
+    att = np.zeros((c, ATT_ROWS, k), F32)
+    att[:, 0] = geom[:, :, GID]
+    att[:, 1] = geom[:, :, MAT]
+    att[:, 2:5] = geom[:, :, N0:N0 + 3].transpose(0, 2, 1)
+    att[:, 5:8] = geom[:, :, N1:N1 + 3].transpose(0, 2, 1)
+    att[:, 8:11] = geom[:, :, N2:N2 + 3].transpose(0, 2, 1)
+    return mx, att
+
 
 CULL_BLOCK = 512  # clusters per cull block (lane-aligned; see trace_pallas)
 MAX_SUPERBLOCKS = 128  # sb_aabb_t lane width -> up to 64k clusters
@@ -83,6 +118,14 @@ class ClusterSet:
     # surviving 8-triangle slices (the reference's <=4-tris-per-leaf
     # economy at packet granularity, BVHBuilder.cs:58).
     sub_aabb_t: jax.Array = None
+    # MXU traversal operands (kernel_core mt_mxu; see MX_COLS below):
+    # geom_mx [C, 5K, 16] — per-cluster matmul matrix: out = geom_mx[c] @
+    # rays16 gives the five (K, R) MT planes (va, vb, vc, s, nda-ndo) in
+    # one MXU dot. gatt [C, 16, K] — per-triangle attribute rows
+    # (gid, mat, n0, n1, n2) contracted against the one-hot winner mask:
+    # winner attribute selection as a second small matmul.
+    geom_mx: jax.Array = None
+    gatt: jax.Array = None
 
     @property
     def num_clusters(self) -> int:
@@ -99,13 +142,13 @@ class ClusterSet:
     def tree_flatten(self):
         return (
             (self.geom, self.aabb_t, self.sb_aabb_t, self.mats,
-             self.sub_aabb_t),
+             self.sub_aabb_t, self.geom_mx, self.gatt),
             (self.num_triangles,),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:4], aux[0], children[4])
+        return cls(*children[:4], aux[0], *children[4:])
 
 
 def _superblock_aabbs(aabb_t: np.ndarray) -> np.ndarray:
@@ -168,6 +211,7 @@ def build_clusters(
         # compaction stops at the real cluster count (here the one
         # all-padding cluster, whose rows can never win: S == 0 -> invalid).
         aabb_t = np.full((8, 128), np.nan, F32)
+        mx, att = _pack_mx(geom)
         return ClusterSet(
             geom=jnp.asarray(geom),
             aabb_t=jnp.asarray(aabb_t),
@@ -175,6 +219,8 @@ def build_clusters(
             mats=jnp.asarray(_pack_materials(arrays, mats_host)),
             num_triangles=0,
             sub_aabb_t=jnp.asarray(np.full((8 * n_sub, 128), np.nan, F32)),
+            geom_mx=jnp.asarray(mx),
+            gatt=jnp.asarray(att),
         )
 
     bvh = build_bvh(tris, max_leaf=k)
@@ -212,7 +258,11 @@ def build_clusters(
     from cosig_tpu.ops.intersect import plucker_constants_host
 
     for ci, (first, count, node) in enumerate(chunks):
-        sl = slice(first, first + count)
+        # Rows sorted ascending by original soup index: the MXU path's
+        # row-index tie-break then equals the gid tie-break (_pack_mx).
+        # Bit-exact for the VPU path too — its winner fold keys on the
+        # gid VALUES, so row order inside a cluster is free to choose.
+        sl = first + np.argsort(bvh.order[first:first + count], kind="stable")
         pk = plucker_constants_host(rt.v0[sl], rt.v1[sl], rt.v2[sl])
         geom[ci, :count, V0 : V0 + 3] = rt.v0[sl]
         geom[ci, :count, GN : GN + 3] = pk["n"]
@@ -257,7 +307,7 @@ def build_clusters(
                 cnt = min(SUBGROUP, count - s0)
                 if cnt <= 0:
                     continue
-                ssl = slice(first + s0, first + s0 + cnt)
+                ssl = sl[s0:s0 + cnt]  # sub-box over the SORTED rows
                 sv = np.concatenate(
                     [rt.v0[ssl], rt.v1[ssl], rt.v2[ssl]], axis=0
                 )
@@ -267,6 +317,7 @@ def build_clusters(
                 sub_aabb_t[gi * 8 : gi * 8 + 3, ci] = smin - spad
                 sub_aabb_t[gi * 8 + 3 : gi * 8 + 6, ci] = smax + spad
 
+    mx, att = _pack_mx(geom)
     return ClusterSet(
         geom=jnp.asarray(geom),
         aabb_t=jnp.asarray(aabb_t),
@@ -274,4 +325,6 @@ def build_clusters(
         mats=jnp.asarray(_pack_materials(arrays, mats_host)),
         num_triangles=t,
         sub_aabb_t=jnp.asarray(sub_aabb_t),
+        geom_mx=jnp.asarray(mx),
+        gatt=jnp.asarray(att),
     )

@@ -170,6 +170,7 @@ def make_traverse(
     gbuf=None, gsem=None, stream=False, subpackets=1,
     prims=None, n_sph=0, n_box=0, frustum=False,
     sub_aabb_t=None, subgroups=1,
+    geom_mx=None, gatt=None, raysmx=None,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -245,7 +246,22 @@ def make_traverse(
     # the scalar compaction loop past C. Coherent (frustum) packets only;
     # streamed geometry keeps whole-cluster visits (a (c, g) list would
     # re-DMA the cluster per subgroup).
+    # MXU traversal (mt_mxu): the caller passes the packed matmul
+    # operands (clusters._pack_mx) to route the pair tests through the
+    # systolic array — one (5K, 16) @ (16, R/S) dot per visit for the
+    # five MT planes (~9x the VPU dot throughput, tools/mxu_mt_bench.py)
+    # plus a (16, K) @ (K, R/S) dot contracting the per-triangle
+    # attribute rows against the one-hot winner mask (the sel() fold).
+    # Compiled-TPU only: in interpret mode XLA's dot reassociates the
+    # f32 sums, breaking the bitwise backend-equality gates; on hardware
+    # the divergence is ULP-scale and bounded by the bench RMSE gate.
+    # Requires unstreamed geometry (the mx operands live in VMEM) and
+    # G == 1 (the SUBG experiment keeps the VPU path).
+    mxu = geom_mx is not None
     G = subgroups if (_SUBG and frustum and not stream and subgroups > 1) else 1
+    if mxu:
+        assert gatt is not None and raysmx is not None
+        assert not stream and G == 1
     if G > 1:
         assert sub_aabb_t is not None and K % G == 0
         assert G * S <= 32 and C * G < 2 ** 23  # flag/entry packing
@@ -289,7 +305,19 @@ def make_traverse(
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
 
-        if S > 1:
+        if mxu:
+            # MXU operand staging: rows 0-8 = (o, d, w), rows 9-14 zero,
+            # row 15 = 1.0 (the constant column that folds nda into the
+            # t-numerator plane; clusters.MX_COLS layout). Same Mosaic
+            # staging rule as sub_rays: windows must be fresh aligned ref
+            # loads of VMEM rows, not slices of live traced vectors.
+            for row, plane in enumerate((ox, oy, oz, dx, dy, dz, wx, wy, wz)):
+                raysmx[row : row + 1] = plane
+            raysmx[9:15] = jnp.zeros((6, R), F)
+            raysmx[15:16] = jnp.ones((1, R), F)
+            if any_hit and S > 1:
+                best_ref[15:16] = max_t  # sub-packet-sliceable bound
+        elif S > 1:
             # Stage the per-ray planes in VMEM rows: the sub-packet MT
             # reads 128-aligned lane windows of these rows as fresh ref
             # loads. Slicing the live traced vectors instead produces
@@ -609,8 +637,17 @@ def make_traverse(
             # Per-sub-packet ray-plane windows, loaded ONCE per traversal
             # (loop-invariant across cluster visits; loading inside the visit
             # body would re-issue 9 loads per cluster).
-            sub_rays = None
-            if S > 1:
+            sub_rays = sub_mx = riota = None
+            if mxu:
+                sub_mx = (
+                    [raysmx[:, sp * RS : (sp + 1) * RS] for sp in range(S)]
+                    if S > 1 else [raysmx[:, :]]
+                )
+                # Row-index tie-break operand: rows are gid-sorted at
+                # build time (clusters), so lowest tied ROW == lowest
+                # tied gid — no per-pair gid column needed.
+                riota = jax.lax.broadcasted_iota(F, (K, 1), 0)
+            elif S > 1:
                 sub_rays = [
                     tuple(
                         best_ref[r : r + 1, sp * RS : (sp + 1) * RS]
@@ -640,7 +677,10 @@ def make_traverse(
                 if _STUB == "mt":
                     return 0
                 entry = list_smem[0, i]
-                if stream:
+                if mxu:
+                    gmc = geom_mx[_cid(entry)]  # (5K, 16)
+                    gac = gatt[_cid(entry)]  # (16, K)
+                elif stream:
                     slot = jax.lax.rem(i, 2)
 
                     @pl.when(i + 1 < n_hit)
@@ -654,9 +694,86 @@ def make_traverse(
                     # (K, comps) otherwise — a plain first-axis load in
                     # both cases.
                     g = geom[_cid(entry)]
-                gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
-                nda = g[:, 6:7]
-                gid = g[:, 35:36]
+                if not mxu:
+                    gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
+                    nda = g[:, 6:7]
+                    gid = g[:, 35:36]
+
+                def mt_mxu(off, w, mxwin):
+                    """MXU form of ``mt``: one (5K, 16) @ (16, w) dot for
+                    the five MT planes, row-index tie-break (rows are
+                    gid-sorted), and winner-attribute selection as a
+                    (16, K) @ (K, w) dot against the one-hot mask. Same
+                    (t, gid) winner as ``mt`` for identical plane values;
+                    plane values differ from the FMA chain by dot-
+                    accumulation ULPs (compiled-TPU only, see the mxu
+                    note at the top of make_traverse)."""
+                    out = jnp.dot(gmc, mxwin, preferred_element_type=jnp.float32)
+                    va, vb, vc = out[0:K], out[K : 2 * K], out[2 * K : 3 * K]
+                    s, num = out[3 * K : 4 * K], out[4 * K : 5 * K]
+                    inv_s = F(1.0) / s
+                    t = num * inv_s
+                    valid = (
+                        (jnp.abs(s) >= EPSILON)
+                        & (va * s >= F(0.0))
+                        & (vb * s >= F(0.0))
+                        & (vc * s >= F(0.0))
+                        & (t > EPSILON)
+                    )
+                    if any_hit:
+                        if w == R:
+                            mts = max_t
+                            cur = best_ref[0:1]
+                        else:
+                            mts = best_ref[15:16, off : off + w]
+                            cur = best_ref[0:1, off : off + w]
+                        occ = jnp.max(
+                            (valid & (t <= mts)).astype(F), axis=0, keepdims=True
+                        )
+                        merged = jnp.maximum(cur, occ)
+                        if w == R:
+                            best_ref[0:1] = merged
+                        else:
+                            best_ref[0:1, off : off + w] = merged
+                        return
+                    tm = jnp.where(valid, t, INF)
+                    tmin = jnp.min(tm, axis=0, keepdims=True)
+                    cand = jnp.where(tm == tmin, riota, F(K))
+                    rmin = jnp.min(cand, axis=0, keepdims=True)
+                    oh = ((tm == tmin) & (riota == rmin)).astype(F)
+                    so = jnp.dot(gac, oh, preferred_element_type=jnp.float32)
+                    gmin = so[0:1]
+                    # Factored winner u/v: sel(vb*inv_s) == sel(vb) *
+                    # sel(inv_s) for a one-hot mask (same two floats
+                    # multiply). A tmin==INF "winner" yields garbage u/v
+                    # (VPU path yields 0) — downstream identical: normal
+                    # rows are only read where hit = t < INF.
+                    inv_w = jnp.sum(oh * inv_s, axis=0, keepdims=True)
+                    u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
+                    v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
+                    w_c = F(1.0) - u_c - v_c
+                    nx = w_c * so[2:3] + u_c * so[5:6] + v_c * so[8:9]
+                    ny = w_c * so[3:4] + u_c * so[6:7] + v_c * so[9:10]
+                    nz = w_c * so[4:5] + u_c * so[7:8] + v_c * so[10:11]
+                    mat_c = so[1:2]
+
+                    def bref(row):
+                        if w == R:
+                            return best_ref[row : row + 1]
+                        return best_ref[row : row + 1, off : off + w]
+
+                    def bset(row, val):
+                        if w == R:
+                            best_ref[row : row + 1] = val
+                        else:
+                            best_ref[row : row + 1, off : off + w] = val
+
+                    bt = bref(0)
+                    better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
+                    for row, new in (
+                        (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
+                    ):
+                        bset(row, jnp.where(better, new, bref(row)))
 
                 def mt(off, w, rays9=None):
                     """Plücker/edge-volume intersection of this cluster's
@@ -757,7 +874,15 @@ def make_traverse(
                     ):
                         bset(row, jnp.where(better, new, bref(row)))
 
-                if S == 1:
+                if mxu:
+                    if S == 1:
+                        mt_mxu(0, R, sub_mx[0])
+                    else:
+                        for sp in range(S):
+                            @pl.when((((entry & 0xFF) >> sp) & 1) > 0)
+                            def _(sp=sp):
+                                mt_mxu(sp * RS, RS, sub_mx[sp])
+                elif S == 1:
                     mt(0, R)
                 else:
                     # Per-sub-packet visit bits: skip the intersection for

@@ -131,7 +131,7 @@ def _primary_block(aa: int, tile_rays: int = None):
 
 def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                          prim_counts=(0, 0), subpackets=1, R=R):
-    C, C_pad, K, M, L, n_subg = dims
+    C, C_pad, K, M, L, n_subg, mxu = dims
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
     grid_w, grid_h = camera.aa_grid(aa)
@@ -139,8 +139,8 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
     n_sph, n_box = prim_counts
 
     def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
-               geom, state, best_ref, flag_vmem, flags_smem, list_smem, sem,
-               sbflag_vmem, sb_smem, gbuf, gsem):
+               geom, geom_mx, gatt, state, best_ref, flag_vmem, flags_smem,
+               list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx):
         tile = pl.program_id(0)
         bx = tile % nbx
         by = tile // nbx
@@ -234,6 +234,8 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
             prims=prims, n_sph=n_sph, n_box=n_box,
             sub_aabb_t=sub_aabb_t, subgroups=n_subg,
+            geom_mx=geom_mx if mxu else None,
+            gatt=gatt if mxu else None, raysmx=raysmx,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
@@ -256,7 +258,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
     final-bounce flag are SMEM uniforms (U_DEPTH / U_LAST), not trace-time
     constants — cutting the wavefront compile ladder from
     (max_depth-1) x levels Mosaic payloads to just levels."""
-    C, C_pad, K, M, L, n_subg = dims
+    C, C_pad, K, M, L, n_subg, mxu = dims
     n_sph, n_box = prim_counts
     # Experiment knob: frustum-cull bounce stages too. Compacted bounce
     # packets are octant-uniform (sign-uniform direction hulls) and
@@ -265,8 +267,9 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
     bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
 
     def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
-               geom, state_in, state_out, best_ref, flag_vmem, flags_smem,
-               list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, state):
+               geom, geom_mx, gatt, state_in, state_out, best_ref, flag_vmem,
+               flags_smem, list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem,
+               raysmx, state):
         state[:, :] = state_in[:, :]
         any_alive = jnp.sum(state[12:13]) > F(0.0)
 
@@ -281,6 +284,8 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                 gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
                 prims=prims, n_sph=n_sph, n_box=n_box,
                 sub_aabb_t=sub_aabb_t, subgroups=n_subg,
+                geom_mx=geom_mx if mxu else None,
+                gatt=gatt if mxu else None, raysmx=raysmx,
                 frustum=bounce_frustum,
             )
             bounce_core(
@@ -336,18 +341,26 @@ def _compact_prefix(state, group_perm, n_pad: int, eg: int):
     return state, group_perm, n_alive_g
 
 
-def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True):
-    """Per-stage kernel resources for one cluster set -> (dims[:3], stream,
-    geom_in, scratch, geom_specs). Stages may traverse DIFFERENT cluster
-    granularities over the same triangle soup: the (t, gid) lexicographic
-    winner fold is clustering-invariant (an associative/commutative min
-    over the identical pair set), so mixing cluster sizes across stages is
-    exact.
+def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
+                     interpret=False):
+    """Per-stage kernel resources for one cluster set -> (dims[:3]+(mxu,),
+    stream, geom_inputs, scratch, geom_specs). Stages may traverse
+    DIFFERENT cluster granularities over the same triangle soup: the
+    (t, gid) lexicographic winner fold is clustering-invariant (an
+    associative/commutative min over the identical pair set), so mixing
+    cluster sizes across stages is exact.
 
     When the stage qualifies for subgroup visits (COSIG_SUBG, frustum,
     unstreamed), the geometry is passed SUBGROUP-MAJOR — a free reshape
     to (C*G, K/G, comps) so each visit is a plain first-axis load
-    (kernel_core packing note)."""
+    (kernel_core packing note).
+
+    ``mxu`` (default on, COSIG_MXU=0 disables): compiled-on-TPU stages
+    route the pair tests through the MXU (kernel_core mt_mxu) using the
+    packed matmul operands; the 36-col geometry is then replaced by a
+    tiny dummy block (the kernel never reads it). Interpret mode keeps
+    the VPU path — XLA:CPU dots reassociate f32 sums, which would break
+    the bitwise backend-equality gates."""
     from cosig_tpu.ops import kernel_core as _kc
 
     C, K = cset.num_clusters, cset.k
@@ -356,12 +369,28 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True):
     if stream is None:
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
     subg = _kc._SUBG and frustum and not stream and n_subg > 1
+    mxu_env = _os.environ.get("COSIG_MXU", "1")
+    mxu = (
+        not stream and not subg
+        and cset.geom_mx is not None
+        and mxu_env != "0"
+        # "force" enables under interpret for CPU validation of the MXU
+        # code path (tests); results then differ from the VPU path by
+        # dot-reassociation ULPs.
+        and (not interpret or mxu_env == "force")
+    )
     geom_in = cset.geom
     if stream:
         # HBM slices DMA'd per cluster need a 128-aligned last dim.
         geom_in = jnp.pad(cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS)))
     elif subg:
         geom_in = cset.geom.reshape(C * n_subg, K // n_subg, cl.GEOM_COMPS)
+    if mxu:
+        geom_in = jnp.zeros((1, 8, 128), jnp.float32)  # unread dummy
+        mx_in, att_in = cset.geom_mx, cset.gatt
+    else:
+        mx_in = jnp.zeros((1, 8, cl.MX_COLS), jnp.float32)
+        att_in = jnp.zeros((1, cl.ATT_ROWS, 8), jnp.float32)
     scratch = [
         pltpu.VMEM((18, R), jnp.float32),  # best-hit rows + staged rays + p2 bound
         pltpu.VMEM((1, C_pad), jnp.int32),
@@ -373,6 +402,7 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True):
         pltpu.SMEM((1, 128), jnp.int32),
         pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((16, R), jnp.float32),  # raysmx (MXU operand staging)
     ]
     geom_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms
@@ -388,8 +418,13 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True):
         ) if stream else pl.BlockSpec(
             tuple(geom_in.shape), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
+        pl.BlockSpec(tuple(mx_in.shape), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(tuple(att_in.shape), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    return (C, C_pad, K, n_subg), stream, geom_in, scratch, geom_specs
+    return ((C, C_pad, K, n_subg, mxu), stream, (geom_in, mx_in, att_in),
+            scratch, geom_specs)
 
 
 def render_wavefront(
@@ -444,19 +479,22 @@ def render_wavefront(
         prims = jnp.zeros((1, 22), jnp.float32)
 
     bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
-    (C, C_pad, K, n_subg), stream, geom_in, scratch, geom_specs = (
-        _stage_resources(cset, stream, R, frustum=bounce_frustum)
+    (C, C_pad, K, n_subg, mxu), stream, geom_ins, scratch, geom_specs = (
+        _stage_resources(cset, stream, R, frustum=bounce_frustum,
+                         interpret=interpret)
     )
-    dims = (C, C_pad, K, M, L, n_subg)
+    dims = (C, C_pad, K, M, L, n_subg, mxu)
 
     # ---- primary stage (optionally on a finer cluster set) ----
     pcs = cset_primary if cset_primary is not None else cset
-    (pC, pC_pad, pK, p_subg), p_stream, p_geom_in, p_scratch, p_geom_specs = (
-        _stage_resources(pcs, None if cset_primary is not None else stream, R)
+    ((pC, pC_pad, pK, p_subg, p_mxu), p_stream, p_geom_ins, p_scratch,
+     p_geom_specs) = (
+        _stage_resources(pcs, None if cset_primary is not None else stream, R,
+                         interpret=interpret)
     )
     state = pl.pallas_call(
-        _make_primary_kernel(cfg, (pC, pC_pad, pK, M, L, p_subg), nbx, band,
-                             p_stream, prim_counts, subpackets, R),
+        _make_primary_kernel(cfg, (pC, pC_pad, pK, M, L, p_subg, p_mxu),
+                             nbx, band, p_stream, prim_counts, subpackets, R),
         grid=(n_tiles,),
         in_specs=p_geom_specs,
         out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -465,7 +503,7 @@ def render_wavefront(
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,
     )(uniforms, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t,
-      pcs.sub_aabb_t, p_geom_in)
+      pcs.sub_aabb_t, *p_geom_ins)
 
     # ---- bounce stages with compaction between ----
     # Alive groups are compacted to a prefix, so the bounce kernel only
@@ -504,7 +542,8 @@ def render_wavefront(
                                      Sb, Rb)
         b_scratch = (
             scratch if Rb == R
-            else _stage_resources(cset, stream, Rb, frustum=bounce_frustum)[3]
+            else _stage_resources(cset, stream, Rb, frustum=bounce_frustum,
+                                  interpret=interpret)[3]
         )
 
         def run_prefix(st, uni_d, pt):
@@ -524,7 +563,7 @@ def render_wavefront(
                 interpret=interpret,
                 compiler_params=COMPILER_PARAMS,
             )(uni_d, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
-              cset.sub_aabb_t, geom_in, sub)
+              cset.sub_aabb_t, *geom_ins, sub)
             return jax.lax.dynamic_update_slice(st, out, (0, 0))
 
         def at_extent(st, gp, uni_d, ext_tiles):

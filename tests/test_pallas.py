@@ -363,6 +363,71 @@ def test_wavefront_mixed_granularity_exact(scene1):
     assert np.abs(np.asarray(mixed) - np.asarray(base)).max() == 0.0
 
 
+def test_mx_packing(scene1):
+    """The MXU operands (clusters._pack_mx) must reproduce the VPU MT
+    planes: geom_mx[c] @ rays16 == (va, vb, vc, s, nda - ndo) computed
+    from the 36-col geometry, and gatt must carry the attribute columns.
+    Also gates the row order contract: rows gid-sorted within clusters
+    (the kernel's row-index tie-break equals the gid tie-break)."""
+    from cosig_tpu.accel import clusters as cl
+
+    arrays = compile_scene(scene1)
+    cs = build_clusters(arrays, k=16)
+    geom = np.asarray(cs.geom)
+    mx = np.asarray(cs.geom_mx)
+    att = np.asarray(cs.gatt)
+    c, k, _ = geom.shape
+    assert mx.shape == (c, 5 * k, cl.MX_COLS)
+    assert att.shape == (c, cl.ATT_ROWS, k)
+    # gid ascending within every cluster (padding rows GID_PAD last).
+    gid = geom[:, :, cl.GID]
+    assert (np.diff(gid, axis=1) >= 0).all()
+    rng_ = np.random.default_rng(7)
+    o = rng_.normal(size=3).astype(np.float32)
+    d = rng_.normal(size=3).astype(np.float32)
+    w = np.cross(o, d).astype(np.float32)
+    rays16 = np.zeros(16, np.float32)
+    rays16[0:3], rays16[3:6], rays16[6:9], rays16[15] = o, d, w, 1.0
+    out = mx @ rays16  # (c, 5k)
+    dvec = np.concatenate([d, w])
+    va = geom[:, :, cl.VA:cl.VA + 6] @ dvec
+    vb = geom[:, :, cl.VB:cl.VB + 6] @ dvec
+    vc = geom[:, :, cl.VC:cl.VC + 6] @ dvec
+    s = geom[:, :, cl.GN:cl.GN + 3] @ d
+    num = geom[:, :, cl.NDA] - geom[:, :, cl.GN:cl.GN + 3] @ o
+    want = np.concatenate([va, vb, vc, s, num], axis=1)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(att[:, 0], gid)
+    np.testing.assert_array_equal(att[:, 1], geom[:, :, cl.MAT])
+    np.testing.assert_array_equal(
+        att[:, 2:5], geom[:, :, cl.N0:cl.N0 + 3].transpose(0, 2, 1)
+    )
+
+
+def test_wavefront_mxu_path(scene1, monkeypatch):
+    """The MXU traversal (kernel_core.mt_mxu, COSIG_MXU=force under
+    interpret) must match the VPU path: identical ray counts and images
+    equal to dot-reassociation ULPs (no logic flips)."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(64, 64), max_depth=3, aa_samples=2,
+        enable_soft_shadows=True,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays, k=32)
+    monkeypatch.setenv("COSIG_MXU", "0")
+    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.setenv("COSIG_MXU", "force")
+    mxu, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    d = np.abs(np.asarray(mxu) - np.asarray(base))
+    assert np.sqrt((d ** 2).mean()) < 1e-6
+    assert d.max() < 1e-3  # no hit/miss logic flips, ULP drift only
+
+
 @pytest.mark.parametrize("tr", [2048, 8192, 16384])
 def test_wavefront_tile_rays_exact(scene1, tr):
     """Different wavefront tile sizes must not change images or ray
