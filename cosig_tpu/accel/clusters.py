@@ -60,16 +60,47 @@ GID_PAD = F32(2 ** 24)
 
 DEFAULT_K = 32
 
-# MXU operand layout (geom_mx / ClusterSet docstring). Columns of the
-# per-cluster matmul matrix follow the kernel's raysmx staging rows:
-# 0:3 origin, 3:6 direction, 6:9 ray moment w, 9:15 zero, 15 constant 1.
-# Row groups of geom_mx[c] (5K, 16): [0,K) va, [K,2K) vb, [2K,3K) vc,
-# [3K,4K) s = d.n, [4K,5K) num = nda - o.n  (the t numerator, nda folded
-# in via the constant-1 column so t = num / s needs no extra subtract).
-MX_COLS = 16
+# MXU operand layout (geom_mx / ClusterSet docstring).
+#
+# The MXU's fp32 contract precision costs ~6x its native bf16 pass, so
+# the kernel runs ONE bf16 (DEFAULT-precision) pass over LIMB-SPLIT
+# operands instead: every f32 value a = a0 + a1 + a2 with aj = bf16
+# limbs (8 mantissa bits each), and the 6 significant limb-product
+# combinations (j, k) with j + k <= 2 become extra contraction columns.
+# bf16 x bf16 products are exact in f32 and the MXU accumulates in f32,
+# so the single pass carries >= fp32-faithful precision (measured ~4e-8
+# of the absolute-value dot vs ~2e-7 for plain f32 FMA chains) at ~1/5
+# the fp32-contract cost (tools/mxu_mt_bench.py).
+#
+# Inputs (matching the kernel's raysmx staging): 0:3 origin,
+# 3:6 direction, 6:9 ray moment w, 9 constant 1. Column c*10+i of
+# geom_mx[c] holds limb j_c of coefficient i; the kernel stages limb k_c
+# of ray input i in raysmx row c*10+i.
+# Row groups of geom_mx[c] (5K, 64): [0,K) va, [K,2K) vb, [2K,3K) vc,
+# [3K,4K) s = d.n, [4K,5K) num = nda - o.n (the t numerator; nda rides
+# the constant-1 input so t = num / s needs no extra subtract).
+MX_COMBOS = ((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0))
+MX_COLS = 64  # 10 inputs x 6 limb combos, zero-padded
 MX_PLANES = 5
-# gatt rows: 0 gid, 1 material, 2:5 n0, 5:8 n1, 8:11 n2, 11:16 zero.
+# gatt (48, K) bf16: row j*16 + a = limb j of attribute a, so the kernel
+# reconstructs exact f32 attributes as so3[0:16] + so3[16:32] + so3[32:48]
+# after the one-hot contraction (products with a 0/1 mask are exact).
+# Attributes: 0 gid, 1 material, 2:5 n0, 5:8 n1, 8:11 n2, 11:16 zero.
 ATT_ROWS = 16
+
+
+def _limbs(a: np.ndarray):
+    """Split f32 into 3 bf16 limbs: a == l0 + l1 + l2 exactly (24 = 3x8
+    mantissa bits; each residual subtraction is exact in f32)."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    a = a.astype(F32)
+    l0 = a.astype(bf).astype(F32)
+    r = a - l0
+    l1 = r.astype(bf).astype(F32)
+    l2 = (r - l1).astype(bf).astype(F32)
+    return l0, l1, l2
 
 
 def _pack_mx(geom: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -79,21 +110,29 @@ def _pack_mx(geom: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     this): the kernel's row-index tie-break then equals the gid
     tie-break, so per-pair gid columns are never needed on the MXU path.
     """
+    import ml_dtypes
+
     c, k, _ = geom.shape
+    coef = np.zeros((c, MX_PLANES * k, 10), F32)
+    coef[:, 0 * k:1 * k, 3:9] = geom[:, :, VA:VA + 6]
+    coef[:, 1 * k:2 * k, 3:9] = geom[:, :, VB:VB + 6]
+    coef[:, 2 * k:3 * k, 3:9] = geom[:, :, VC:VC + 6]
+    coef[:, 3 * k:4 * k, 3:6] = geom[:, :, GN:GN + 3]
+    coef[:, 4 * k:5 * k, 0:3] = -geom[:, :, GN:GN + 3]
+    coef[:, 4 * k:5 * k, 9] = geom[:, :, NDA]
+    lim = _limbs(coef)
     mx = np.zeros((c, MX_PLANES * k, MX_COLS), F32)
-    mx[:, 0 * k:1 * k, 3:9] = geom[:, :, VA:VA + 6]
-    mx[:, 1 * k:2 * k, 3:9] = geom[:, :, VB:VB + 6]
-    mx[:, 2 * k:3 * k, 3:9] = geom[:, :, VC:VC + 6]
-    mx[:, 3 * k:4 * k, 3:6] = geom[:, :, GN:GN + 3]
-    mx[:, 4 * k:5 * k, 0:3] = -geom[:, :, GN:GN + 3]
-    mx[:, 4 * k:5 * k, 15] = geom[:, :, NDA]
-    att = np.zeros((c, ATT_ROWS, k), F32)
-    att[:, 0] = geom[:, :, GID]
-    att[:, 1] = geom[:, :, MAT]
-    att[:, 2:5] = geom[:, :, N0:N0 + 3].transpose(0, 2, 1)
-    att[:, 5:8] = geom[:, :, N1:N1 + 3].transpose(0, 2, 1)
-    att[:, 8:11] = geom[:, :, N2:N2 + 3].transpose(0, 2, 1)
-    return mx, att
+    for ci, (j, _) in enumerate(MX_COMBOS):
+        mx[:, :, ci * 10:ci * 10 + 10] = lim[j]
+    attf = np.zeros((c, ATT_ROWS, k), F32)
+    attf[:, 0] = geom[:, :, GID]
+    attf[:, 1] = geom[:, :, MAT]
+    attf[:, 2:5] = geom[:, :, N0:N0 + 3].transpose(0, 2, 1)
+    attf[:, 5:8] = geom[:, :, N1:N1 + 3].transpose(0, 2, 1)
+    attf[:, 8:11] = geom[:, :, N2:N2 + 3].transpose(0, 2, 1)
+    att = np.concatenate(_limbs(attf), axis=1)  # (c, 48, k)
+    bf = ml_dtypes.bfloat16
+    return mx.astype(bf), att.astype(bf)
 
 
 CULL_BLOCK = 512  # clusters per cull block (lane-aligned; see trace_pallas)

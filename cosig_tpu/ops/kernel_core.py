@@ -170,7 +170,7 @@ def make_traverse(
     gbuf=None, gsem=None, stream=False, subpackets=1,
     prims=None, n_sph=0, n_box=0, frustum=False,
     sub_aabb_t=None, subgroups=1,
-    geom_mx=None, gatt=None, raysmx=None,
+    geom_mx=None, gatt=None, raysmx=None, mxu_anyhit=True,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -262,6 +262,11 @@ def make_traverse(
     if mxu:
         assert gatt is not None and raysmx is not None
         assert not stream and G == 1
+        if not mxu_anyhit:
+            # Mixed mode (COSIG_MXU_SHADOW=0): any-hit shadow traversals
+            # keep the VPU pair test, so the REAL 36-col geometry must be
+            # resident alongside the matmul operands.
+            assert geom.shape[1:] == (K, cl.GEOM_COMPS), geom.shape
     if G > 1:
         assert sub_aabb_t is not None and K % G == 0
         assert G * S <= 32 and C * G < 2 ** 23  # flag/entry packing
@@ -285,6 +290,7 @@ def make_traverse(
                 jnp.zeros((1, R), bool), ones * INF,
                 ones * F(0.0), ones, ones * F(0.0), ones * F(-1.0),
             )
+        use_mxu = mxu and (mxu_anyhit or not any_hit)
         if any_hit:
             assert max_t is not None
             best_ref[0:1] = jnp.zeros((1, R), F)  # occlusion flag row
@@ -305,16 +311,38 @@ def make_traverse(
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
 
-        if mxu:
-            # MXU operand staging: rows 0-8 = (o, d, w), rows 9-14 zero,
-            # row 15 = 1.0 (the constant column that folds nda into the
-            # t-numerator plane; clusters.MX_COLS layout). Same Mosaic
-            # staging rule as sub_rays: windows must be fresh aligned ref
-            # loads of VMEM rows, not slices of live traced vectors.
-            for row, plane in enumerate((ox, oy, oz, dx, dy, dz, wx, wy, wz)):
-                raysmx[row : row + 1] = plane
-            raysmx[9:15] = jnp.zeros((6, R), F)
-            raysmx[15:16] = jnp.ones((1, R), F)
+        if use_mxu:
+            # MXU operand staging (clusters.MX_COMBOS layout): raysmx row
+            # c*10 + i = bf16 limb k_c of ray input i, inputs = (o, d, w,
+            # const 1). The limb split x = x0 + x1 + x2 (exact residual
+            # subtractions) lets ONE bf16 MXU pass reproduce fp32-contract
+            # precision — see the layout note in accel/clusters.py. Same
+            # Mosaic staging rule as sub_rays: windows must be fresh
+            # aligned ref loads of VMEM rows, not traced-vector slices.
+            # Closest-hit and any-hit traversals stage DISJOINT row
+            # bands (any_hit: rows 64-127): one shared band means the
+            # shadow traversal's re-staging clobbers rows whose derived
+            # values (winner normals) the compiled kernel may still be
+            # consuming afterward.
+            mxb = 64 if any_hit else 0
+            bf16 = jnp.bfloat16
+            for i, plane in enumerate(
+                (ox, oy, oz, dx, dy, dz, wx, wy, wz)
+            ):
+                l0 = plane.astype(bf16)
+                r1 = plane - l0.astype(F)
+                l1 = r1.astype(bf16)
+                l2 = (r1 - l1.astype(F)).astype(bf16)
+                limbs = (l0, l1, l2)
+                for c, (_, kc) in enumerate(cl.MX_COMBOS):
+                    raysmx[mxb + c * 10 + i : mxb + c * 10 + i + 1] = limbs[kc]
+            one = jnp.ones((1, R), bf16)
+            zero = jnp.zeros((1, R), bf16)
+            for c, (_, kc) in enumerate(cl.MX_COMBOS):
+                raysmx[mxb + c * 10 + 9 : mxb + c * 10 + 10] = (
+                    one if kc == 0 else zero
+                )
+            raysmx[mxb + 60 : mxb + 64] = jnp.zeros((4, R), bf16)
             if any_hit and S > 1:
                 best_ref[15:16] = max_t  # sub-packet-sliceable bound
         elif S > 1:
@@ -638,15 +666,25 @@ def make_traverse(
             # (loop-invariant across cluster visits; loading inside the visit
             # body would re-issue 9 loads per cluster).
             sub_rays = sub_mx = riota = None
-            if mxu:
+            if use_mxu:
                 sub_mx = (
-                    [raysmx[:, sp * RS : (sp + 1) * RS] for sp in range(S)]
-                    if S > 1 else [raysmx[:, :]]
+                    [
+                        raysmx[mxb : mxb + 64, sp * RS : (sp + 1) * RS]
+                        for sp in range(S)
+                    ]
+                    if S > 1 else [raysmx[mxb : mxb + 64, :]]
                 )
                 # Row-index tie-break operand: rows are gid-sorted at
                 # build time (clusters), so lowest tied ROW == lowest
-                # tied gid — no per-pair gid column needed.
-                riota = jax.lax.broadcasted_iota(F, (K, 1), 0)
+                # tied gid — no per-pair gid column needed. Materialized
+                # at FULL (K, R/S) shape: a (K, 1) iota broadcast against
+                # (K, w) comparisons miscompiles in larger kernel bodies
+                # (all-zero one-hot -> NaN normals; compiled-only, the
+                # same Mosaic broadcast-layout hazard class as the
+                # staged-rows rule above). Integer iota, f32 cast.
+                riota = jax.lax.broadcasted_iota(
+                    jnp.int32, (K, R // S), 0
+                ).astype(F)
             elif S > 1:
                 sub_rays = [
                     tuple(
@@ -677,9 +715,9 @@ def make_traverse(
                 if _STUB == "mt":
                     return 0
                 entry = list_smem[0, i]
-                if mxu:
-                    gmc = geom_mx[_cid(entry)]  # (5K, 16)
-                    gac = gatt[_cid(entry)]  # (16, K)
+                if use_mxu:
+                    gmc = geom_mx[_cid(entry)]  # (5K, 64)
+                    gac = gatt[_cid(entry)]  # (48, K)
                 elif stream:
                     slot = jax.lax.rem(i, 2)
 
@@ -694,16 +732,18 @@ def make_traverse(
                     # (K, comps) otherwise — a plain first-axis load in
                     # both cases.
                     g = geom[_cid(entry)]
-                if not mxu:
+                if not use_mxu:
                     gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
                     nda = g[:, 6:7]
                     gid = g[:, 35:36]
 
                 def mt_mxu(off, w, mxwin):
-                    """MXU form of ``mt``: one (5K, 16) @ (16, w) dot for
-                    the five MT planes, row-index tie-break (rows are
-                    gid-sorted), and winner-attribute selection as a
-                    (16, K) @ (K, w) dot against the one-hot mask. Same
+                    """MXU form of ``mt``: one bf16 (5K, 64) @ (64, w)
+                    limb-split dot for the five MT planes (>= fp32-
+                    faithful, see clusters.MX_COMBOS), row-index
+                    tie-break (rows are gid-sorted), and winner-attribute
+                    selection as a (48, K) @ (K, w) one-hot contraction
+                    (exact: 0/1 mask x bf16 limbs, f32 accumulate). Same
                     (t, gid) winner as ``mt`` for identical plane values;
                     plane values differ from the FMA chain by dot-
                     accumulation ULPs (compiled-TPU only, see the mxu
@@ -741,7 +781,11 @@ def make_traverse(
                     cand = jnp.where(tm == tmin, riota, F(K))
                     rmin = jnp.min(cand, axis=0, keepdims=True)
                     oh = ((tm == tmin) & (riota == rmin)).astype(F)
-                    so = jnp.dot(gac, oh, preferred_element_type=jnp.float32)
+                    so3 = jnp.dot(
+                        gac, oh.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )  # (48, w): 3 limb blocks of the 16 attribute rows
+                    so = so3[0:16] + so3[16:32] + so3[32:48]
                     gmin = so[0:1]
                     # Factored winner u/v: sel(vb*inv_s) == sel(vb) *
                     # sel(inv_s) for a one-hot mask (same two floats
@@ -874,7 +918,7 @@ def make_traverse(
                     ):
                         bset(row, jnp.where(better, new, bref(row)))
 
-                if mxu:
+                if use_mxu:
                     if S == 1:
                         mt_mxu(0, R, sub_mx[0])
                     else:

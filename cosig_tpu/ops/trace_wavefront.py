@@ -236,6 +236,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             sub_aabb_t=sub_aabb_t, subgroups=n_subg,
             geom_mx=geom_mx if mxu else None,
             gatt=gatt if mxu else None, raysmx=raysmx,
+            mxu_anyhit=mxu != 2,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
@@ -286,6 +287,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                 sub_aabb_t=sub_aabb_t, subgroups=n_subg,
                 geom_mx=geom_mx if mxu else None,
                 gatt=gatt if mxu else None, raysmx=raysmx,
+                mxu_anyhit=mxu != 2,
                 frustum=bounce_frustum,
             )
             bounce_core(
@@ -360,7 +362,12 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
     packed matmul operands; the 36-col geometry is then replaced by a
     tiny dummy block (the kernel never reads it). Interpret mode keeps
     the VPU path — XLA:CPU dots reassociate f32 sums, which would break
-    the bitwise backend-equality gates."""
+    the bitwise backend-equality gates.
+
+    ``COSIG_MXU_SHADOW=0`` (mixed mode): any-hit shadow traversals keep
+    the VPU pair test while closest-hit traversals use the MXU; the real
+    geometry stays resident next to the matmul operands. The dims tuple
+    then carries mxu=2 (1 = MXU everywhere, 0 = off)."""
     from cosig_tpu.ops import kernel_core as _kc
 
     C, K = cset.num_clusters, cset.k
@@ -369,7 +376,12 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
     if stream is None:
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
     subg = _kc._SUBG and frustum and not stream and n_subg > 1
-    mxu_env = _os.environ.get("COSIG_MXU", "1")
+    # Default OFF: the MXU path miscompiles on TPU when closest-hit +
+    # shadow + secondary blocks coexist (NaN winner normals; under
+    # investigation — interpret/CPU is clean). Flip the default once the
+    # hardware gate (tools/r3_sweep.py stageM + /tmp-style mode probes)
+    # is green.
+    mxu_env = _os.environ.get("COSIG_MXU", "0")
     mxu = (
         not stream and not subg
         and cset.geom_mx is not None
@@ -379,18 +391,22 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
         # dot-reassociation ULPs.
         and (not interpret or mxu_env == "force")
     )
+    if mxu and _os.environ.get("COSIG_MXU_SHADOW", "1") == "0":
+        mxu = 2  # mixed: closest-hit on MXU, any-hit shadows on VPU
     geom_in = cset.geom
     if stream:
         # HBM slices DMA'd per cluster need a 128-aligned last dim.
         geom_in = jnp.pad(cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS)))
     elif subg:
         geom_in = cset.geom.reshape(C * n_subg, K // n_subg, cl.GEOM_COMPS)
-    if mxu:
+    if mxu == 1:
         geom_in = jnp.zeros((1, 8, 128), jnp.float32)  # unread dummy
         mx_in, att_in = cset.geom_mx, cset.gatt
+    elif mxu == 2:
+        mx_in, att_in = cset.geom_mx, cset.gatt
     else:
-        mx_in = jnp.zeros((1, 8, cl.MX_COLS), jnp.float32)
-        att_in = jnp.zeros((1, cl.ATT_ROWS, 8), jnp.float32)
+        mx_in = jnp.zeros((1, 16, cl.MX_COLS), jnp.bfloat16)
+        att_in = jnp.zeros((1, 3 * cl.ATT_ROWS, 8), jnp.bfloat16)
     scratch = [
         pltpu.VMEM((18, R), jnp.float32),  # best-hit rows + staged rays + p2 bound
         pltpu.VMEM((1, C_pad), jnp.int32),
@@ -402,7 +418,8 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
         pltpu.SMEM((1, 128), jnp.int32),
         pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((16, R), jnp.float32),  # raysmx (MXU operand staging)
+        # raysmx (MXU limb staging; disjoint closest/any-hit row bands)
+        pltpu.VMEM((128, R), jnp.bfloat16),
     ]
     geom_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms
@@ -605,8 +622,14 @@ def render_wavefront(
         # Interpret mode has no Mosaic compiles, so unrolling costs
         # nothing there. COSIG_WF_LOOP=py forces the unrolled form when
         # compiled (escape hatch).
+        # S == 1 (tile_rays == 1024): the compiled fori/switch chain
+        # miscomputes on TPU (bounce stages contribute nothing; depth-2
+        # reproduced on hardware, interpret clean) — the unrolled chain is
+        # correct, so force it for this non-default tile size until the
+        # Mosaic/XLA interaction is root-caused.
+        force_unroll = subpackets == 1
         carry = (state, group_perm, jnp.int32(len(levels) - 1))
-        if interpret or _os.environ.get("COSIG_WF_LOOP") == "py":
+        if interpret or force_unroll or _os.environ.get("COSIG_WF_LOOP") == "py":
             for depth in range(1, cfg.max_depth):
                 carry = depth_body(jnp.int32(depth), carry)
             state, group_perm, _ = carry

@@ -364,21 +364,23 @@ def test_wavefront_mixed_granularity_exact(scene1):
 
 
 def test_mx_packing(scene1):
-    """The MXU operands (clusters._pack_mx) must reproduce the VPU MT
-    planes: geom_mx[c] @ rays16 == (va, vb, vc, s, nda - ndo) computed
-    from the 36-col geometry, and gatt must carry the attribute columns.
-    Also gates the row order contract: rows gid-sorted within clusters
-    (the kernel's row-index tie-break equals the gid tie-break)."""
+    """The limb-split MXU operands (clusters._pack_mx) must reproduce
+    the MT planes at >= fp32-faithful precision: geom_mx[c] @ rays64 ==
+    (va, vb, vc, s, nda - ndo) vs a float64 reference, within the f32
+    FMA chain's own error envelope. The attribute limbs must reconstruct
+    EXACTLY (one-hot contraction carries them bit-for-bit). Also gates
+    the row-order contract: rows gid-sorted within clusters (the
+    kernel's row-index tie-break equals the gid tie-break)."""
     from cosig_tpu.accel import clusters as cl
 
     arrays = compile_scene(scene1)
     cs = build_clusters(arrays, k=16)
     geom = np.asarray(cs.geom)
-    mx = np.asarray(cs.geom_mx)
-    att = np.asarray(cs.gatt)
+    mx = np.asarray(cs.geom_mx).astype(np.float64)
+    att = np.asarray(cs.gatt).astype(np.float32)
     c, k, _ = geom.shape
     assert mx.shape == (c, 5 * k, cl.MX_COLS)
-    assert att.shape == (c, cl.ATT_ROWS, k)
+    assert att.shape == (c, 3 * cl.ATT_ROWS, k)
     # gid ascending within every cluster (padding rows GID_PAD last).
     gid = geom[:, :, cl.GID]
     assert (np.diff(gid, axis=1) >= 0).all()
@@ -386,21 +388,30 @@ def test_mx_packing(scene1):
     o = rng_.normal(size=3).astype(np.float32)
     d = rng_.normal(size=3).astype(np.float32)
     w = np.cross(o, d).astype(np.float32)
-    rays16 = np.zeros(16, np.float32)
-    rays16[0:3], rays16[3:6], rays16[6:9], rays16[15] = o, d, w, 1.0
-    out = mx @ rays16  # (c, 5k)
-    dvec = np.concatenate([d, w])
-    va = geom[:, :, cl.VA:cl.VA + 6] @ dvec
-    vb = geom[:, :, cl.VB:cl.VB + 6] @ dvec
-    vc = geom[:, :, cl.VC:cl.VC + 6] @ dvec
-    s = geom[:, :, cl.GN:cl.GN + 3] @ d
-    num = geom[:, :, cl.NDA] - geom[:, :, cl.GN:cl.GN + 3] @ o
+    # Stage the ray limbs exactly as the kernel does.
+    inp = np.concatenate([o, d, w, [np.float32(1.0)]]).astype(np.float32)
+    l0, l1, l2 = cl._limbs(inp)
+    limbs = (l0, l1, l2)
+    r64 = np.zeros(64, np.float64)
+    for ci, (_, kc) in enumerate(cl.MX_COMBOS):
+        r64[ci * 10:ci * 10 + 10] = limbs[kc]
+    out = mx @ r64  # (c, 5k) float64 eval of the bf16-exact products
+    dvec = np.concatenate([d, w]).astype(np.float64)
+    g64 = geom.astype(np.float64)
+    va = g64[:, :, cl.VA:cl.VA + 6] @ dvec
+    vb = g64[:, :, cl.VB:cl.VB + 6] @ dvec
+    vc = g64[:, :, cl.VC:cl.VC + 6] @ dvec
+    s = g64[:, :, cl.GN:cl.GN + 3] @ d.astype(np.float64)
+    num = g64[:, :, cl.NDA] - g64[:, :, cl.GN:cl.GN + 3] @ o.astype(np.float64)
     want = np.concatenate([va, vb, vc, s, num], axis=1)
-    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(att[:, 0], gid)
-    np.testing.assert_array_equal(att[:, 1], geom[:, :, cl.MAT])
+    scale = (np.abs(g64[:, :, cl.VA:cl.VA + 6]) @ np.abs(dvec)).max() + 1.0
+    assert np.abs(out - want).max() <= 1e-6 * scale
+    # Attribute limb reconstruction is EXACT.
+    rec = att[:, 0:16] + att[:, 16:32] + att[:, 32:48]
+    np.testing.assert_array_equal(rec[:, 0], gid)
+    np.testing.assert_array_equal(rec[:, 1], geom[:, :, cl.MAT])
     np.testing.assert_array_equal(
-        att[:, 2:5], geom[:, :, cl.N0:cl.N0 + 3].transpose(0, 2, 1)
+        rec[:, 2:5], geom[:, :, cl.N0:cl.N0 + 3].transpose(0, 2, 1)
     )
 
 
@@ -426,6 +437,15 @@ def test_wavefront_mxu_path(scene1, monkeypatch):
     d = np.abs(np.asarray(mxu) - np.asarray(base))
     assert np.sqrt((d ** 2).mean()) < 1e-6
     assert d.max() < 1e-3  # no hit/miss logic flips, ULP drift only
+    # Mixed mode (COSIG_MXU_SHADOW=0): closest-hit on MXU, shadows on
+    # VPU. Shadow occlusion is a pure any-hit bit, so mixed must equal
+    # the full-MXU image EXACTLY when the closest-hit t values agree —
+    # they do: same mt_mxu dot. (Equality to the all-VPU image is only
+    # ULP-level, covered above.)
+    monkeypatch.setenv("COSIG_MXU_SHADOW", "0")
+    mix, r2 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r1) == float(r2)
+    np.testing.assert_array_equal(np.asarray(mix), np.asarray(mxu))
 
 
 @pytest.mark.parametrize("tr", [2048, 8192, 16384])

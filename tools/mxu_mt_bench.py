@@ -83,8 +83,61 @@ def dots_vpu(g, rays, k):
     return va, vb, vc, s, ndo
 
 
+PRECISION = None  # set per run_case
+
+
 def dots_mxu(gm, rays16, k):
-    out = jnp.dot(gm, rays16, preferred_element_type=jnp.float32)  # (5k, R)
+    out = jnp.dot(gm, rays16, preferred_element_type=jnp.float32,
+                  precision=PRECISION)  # (5k, R)
+    return (out[0 * k:1 * k], out[1 * k:2 * k], out[2 * k:3 * k],
+            out[3 * k:4 * k], out[4 * k:5 * k])
+
+
+# Limb-split single-pass f32-faithful dot: each f32 operand splits into
+# 3 bf16 limbs; the 6 significant limb-product combos (j,k) with j+k<=2
+# become extra contraction columns (9+1 inputs x 6 combos = 60, pad 64).
+# One DEFAULT-precision bf16 MXU pass then equals HIGHEST-precision
+# quality (bf16xbf16 products are exact in f32; f32 accumulation).
+COMBOS = [(0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0)]
+
+
+def _limbs(a):
+    import ml_dtypes
+    bf = ml_dtypes.bfloat16
+    a = a.astype(np.float32)
+    l0 = a.astype(bf).astype(np.float32)
+    r = a - l0
+    l1 = r.astype(bf).astype(np.float32)
+    l2 = (r - l1).astype(bf).astype(np.float32)
+    return l0, l1, l2
+
+
+def geom_mx3(k):
+    """(VL, 5k, 64) bf16: col c*10+i = limb j_c of coefficient i."""
+    import ml_dtypes
+    gm = geom_mxu(k)  # (VL, 5k, 16) f32; cols 0:9 inputs, 15 const-nda
+    coef = np.concatenate([gm[:, :, 0:9], gm[:, :, 15:16]], axis=2)  # 10
+    lim = _limbs(coef)
+    out = np.zeros((VL, 5 * k, 64), np.float32)
+    for c, (j, _) in enumerate(COMBOS):
+        out[:, :, c * 10:c * 10 + 10] = lim[j]
+    return out.astype(ml_dtypes.bfloat16)
+
+
+def rays64():
+    """(64, R) bf16: row c*10+i = limb k_c of ray input i (input 9 = 1)."""
+    import ml_dtypes
+    r9 = rays_rows()
+    inp = np.concatenate([r9, np.ones((1, R), np.float32)], axis=0)  # (10, R)
+    lim = _limbs(inp)
+    out = np.zeros((64, R), np.float32)
+    for c, (_, kk) in enumerate(COMBOS):
+        out[c * 10:c * 10 + 10] = lim[kk]
+    return out.astype(ml_dtypes.bfloat16)
+
+
+def dots_mxu3(gm3, r64, k):
+    out = jnp.dot(gm3, r64, preferred_element_type=jnp.float32)  # (5k, R)
     return (out[0 * k:1 * k], out[1 * k:2 * k], out[2 * k:3 * k],
             out[3 * k:4 * k], out[4 * k:5 * k])
 
@@ -146,7 +199,9 @@ def make_body(kind, k):
 
         def visit(i, acc):
             g = gv_ref[i]
-            if use_t:
+            if "3" in kind:
+                va, vb, vc, s, ndo = dots_mxu3(gm_ref[i], rays16, k)
+            elif use_t:
                 va, vb, vc, s, ndo = dots_mxuT(gm_ref[i], rays16, k)
             elif use_mxu:
                 va, vb, vc, s, ndo = dots_mxu(gm_ref[i], rays16, k)
@@ -169,21 +224,29 @@ def make_body(kind, k):
     return body
 
 
-def run_case(kind, k):
+def run_case(kind, k, precision=None):
+    global PRECISION
+    PRECISION = precision
     vl = VL
     body = make_body(kind, k)
     rays16 = np.zeros((16, R), F)
     rays16[0:9] = rays_rows()
     gv = geom_vpu(k)
     gm = geom_mxu(k)
+    if "3" in kind:
+        rays16 = np.asarray(rays64())  # (64, R) bf16
+        gm = geom_mx3(k)
     if "T" in kind:
         gm = np.ascontiguousarray(gm.transpose(0, 2, 1))  # (VL, 16, 5k)
 
+    import ml_dtypes
+    ray_shape = (64, R) if "3" in kind else (16, R)
+    ray_dtype = jnp.bfloat16 if "3" in kind else jnp.float32
     call = pl.pallas_call(
         body,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((16, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ray_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(gv.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(gm.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -197,19 +260,20 @@ def run_case(kind, k):
     def chain(r16, a, b, n):
         def step(carry, _):
             out = call(carry, a, b)
-            return r16.at[15, 0].add(out[0, 0] * 0.0), None
+            return r16.at[0, 0].add((out[0, 0] * 0.0).astype(r16.dtype)), None
 
         c, _ = jax.lax.scan(step, r16, None, length=n)
         return c
 
+    r_in = jnp.asarray(rays16, dtype=ray_dtype) if "3" in kind else jnp.asarray(rays16)
     for n in (2, 10):
-        chain(jnp.asarray(rays16), jnp.asarray(gv), jnp.asarray(gm), n=n
+        chain(r_in, jnp.asarray(gv), jnp.asarray(gm), n=n
               ).block_until_ready()
     t = {}
     for n in (2, 10):
         t0 = time.perf_counter()
-        r = chain(jnp.asarray(rays16), jnp.asarray(gv), jnp.asarray(gm), n=n)
-        float(r[15, 0])
+        r = chain(r_in, jnp.asarray(gv), jnp.asarray(gm), n=n)
+        float(r[0, 0])
         t[n] = time.perf_counter() - t0
     per_call = (t[10] - t[2]) / 8
     visits = T * vl
@@ -220,11 +284,13 @@ def run_case(kind, k):
 
 
 def main():
-    for kind in ("vpu-dots", "mxu-dots", "mxuT-dots", "vpu-full",
-                 "mxu-full", "mxuT-full"):
-        run_case(kind, 32)
-    for kind in ("mxu-full", "mxuT-full", "vpu-full"):
-        run_case(kind, 128)
+    for rep in range(2):
+        run_case("vpu-full", 32)
+        run_case("mxu3-full", 32)
+        run_case("mxu3-dots", 32)
+        run_case("mxu-full", 32)
+    run_case("mxu3-full", 128)
+    run_case("vpu-full", 128)
 
 
 if __name__ == "__main__":

@@ -107,6 +107,22 @@ STAGES = {
         ("large-base6", "large_mesh", {}),
         ("large-R16384", "large_mesh", {"COSIG_WF_R": "16384"}),
     ],
+    # MXU traversal A/B (ABAB; COSIG_MXU defaults OFF until the TPU
+    # miscompile is resolved — set it explicitly per run).
+    "stageM": [
+        ("glass-MXU0", "glass_sphere", {"COSIG_MXU": "0"}),
+        ("glass-MXUc", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
+        ("glass-MXU0b", "glass_sphere", {"COSIG_MXU": "0"}),
+        ("glass-MXUcb", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
+        ("large-MXU0", "large_mesh", {"COSIG_MXU": "0"}),
+        ("large-MXUc", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
+        ("large-MXU0b", "large_mesh", {"COSIG_MXU": "0"}),
+        ("large-MXUcb", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
+    ],
     # Glass decomposition refresh at the current design point.
     "stagePG": [
         ("glass-full", "glass_sphere", {}),
