@@ -326,6 +326,7 @@ def make_traverse(
             # consuming afterward.
             mxb = 64 if any_hit else 0
             bf16 = jnp.bfloat16
+            planes = {}
             for i, plane in enumerate(
                 (ox, oy, oz, dx, dy, dz, wx, wy, wz)
             ):
@@ -333,16 +334,23 @@ def make_traverse(
                 r1 = plane - l0.astype(F)
                 l1 = r1.astype(bf16)
                 l2 = (r1 - l1.astype(F)).astype(bf16)
-                limbs = (l0, l1, l2)
-                for c, (_, kc) in enumerate(cl.MX_COMBOS):
-                    raysmx[mxb + c * 10 + i : mxb + c * 10 + i + 1] = limbs[kc]
+                planes[i] = (l0, l1, l2)
             one = jnp.ones((1, R), bf16)
             zero = jnp.zeros((1, R), bf16)
-            for c, (_, kc) in enumerate(cl.MX_COMBOS):
-                raysmx[mxb + c * 10 + 9 : mxb + c * 10 + 10] = (
-                    one if kc == 0 else zero
-                )
-            raysmx[mxb + 60 : mxb + 64] = jnp.zeros((4, R), bf16)
+            planes[9] = (one, zero, zero)
+            rows = [
+                planes[i][kc]
+                for _, kc in cl.MX_COMBOS
+                for i in range(10)
+            ] + [zero] * 4
+            if os.environ.get("COSIG_MXU_STAGE") == "rows":
+                for r_i, row in enumerate(rows):
+                    raysmx[mxb + r_i : mxb + r_i + 1] = row
+            else:
+                # Single (64, R) store (default): fewer stores for Mosaic
+                # to schedule than 64 row writes, and the staged block is
+                # one value — also an A/B lever for the miscompile hunt.
+                raysmx[mxb : mxb + 64] = jnp.concatenate(rows, axis=0)
             if any_hit and S > 1:
                 best_ref[15:16] = max_t  # sub-packet-sliceable bound
         elif S > 1:

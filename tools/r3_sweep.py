@@ -123,6 +123,20 @@ STAGES = {
         ("large-MXUcb", "large_mesh",
          {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
     ],
+    # Upward cluster-size sweep (VPU path): bigger K quarters the bounce
+    # stages' per-ray cull grid (large_mesh C_pad 1024 -> 256 at K=128),
+    # the dominant large_mesh cost; MT per-visit cost doubles per K step
+    # while visit counts roughly halve (host model in STATUS).
+    "stageK": [
+        ("large-K32", "large_mesh", {}),
+        ("large-K64", "large_mesh", {"COSIG_K": "64"}),
+        ("large-K32b", "large_mesh", {}),
+        ("large-K128", "large_mesh", {"COSIG_K": "128"}),
+        ("glass-K32", "glass_sphere", {}),
+        ("glass-K64", "glass_sphere", {"COSIG_K": "64"}),
+        ("glass-K32b", "glass_sphere", {}),
+        ("glass-K128", "glass_sphere", {"COSIG_K": "128"}),
+    ],
     # Glass decomposition refresh at the current design point.
     "stagePG": [
         ("glass-full", "glass_sphere", {}),
