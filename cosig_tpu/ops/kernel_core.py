@@ -786,9 +786,16 @@ def make_traverse(
                         return
                     tm = jnp.where(valid, t, INF)
                     tmin = jnp.min(tm, axis=0, keepdims=True)
-                    cand = jnp.where(tm == tmin, riota, F(K))
+                    if os.environ.get("COSIG_MXU_OH") == "le":
+                        # A/B lever for the TPU miscompile hunt: <= is the
+                        # same boolean set as == when tmin = min(tm), but a
+                        # different compare op for Mosaic to lower.
+                        ist = tm <= tmin
+                    else:
+                        ist = tm == tmin
+                    cand = jnp.where(ist, riota, F(K))
                     rmin = jnp.min(cand, axis=0, keepdims=True)
-                    oh = ((tm == tmin) & (riota == rmin)).astype(F)
+                    oh = (ist & (riota == rmin)).astype(F)
                     so3 = jnp.dot(
                         gac, oh.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32,
