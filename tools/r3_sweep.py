@@ -97,15 +97,12 @@ STAGES = {
         ("large-noshadow", "large_mesh", {"COSIG_STUB": "shadow"}),
         ("large-noshade", "large_mesh", {"COSIG_STUB": "shade"}),
     ],
-    # large_mesh: bigger clusters (fewer, bigger visits — the direction the
-    # SUBG rejection points) + wide tiles, ABAB.
-    "stageK": [
-        ("large-base4", "large_mesh", {}),
-        ("large-K64", "large_mesh", {"COSIG_K": "64"}),
-        ("large-base5", "large_mesh", {}),
-        ("large-K128", "large_mesh", {"COSIG_K": "128"}),
+    # Wide-tile experiment (separate from the K sweep below).
+    "stageR": [
         ("large-base6", "large_mesh", {}),
         ("large-R16384", "large_mesh", {"COSIG_WF_R": "16384"}),
+        ("large-base7", "large_mesh", {}),
+        ("large-R8192", "large_mesh", {"COSIG_WF_R": "8192"}),
     ],
     # MXU traversal A/B (ABAB; COSIG_MXU defaults OFF until the TPU
     # miscompile is resolved — set it explicitly per run).
