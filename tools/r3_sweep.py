@@ -134,6 +134,20 @@ STAGES = {
         ("glass-K32b", "glass_sphere", {}),
         ("glass-K128", "glass_sphere", {"COSIG_K": "128"}),
     ],
+    # Cross granularity: bounce stages at big K (cheap per-ray culls),
+    # primary at K=32 (its frustum cull is already cheap; keeps primary
+    # MT pair work low). COSIG_K sets the bounce/base set, COSIG_K_PRIMARY
+    # the primary-only set — mixing is exact (clustering-invariant fold).
+    "stageKX": [
+        ("large-K64-KP32", "large_mesh",
+         {"COSIG_K": "64", "COSIG_K_PRIMARY": "32"}),
+        ("large-K128-KP32", "large_mesh",
+         {"COSIG_K": "128", "COSIG_K_PRIMARY": "32"}),
+        ("glass-K64-KP32", "glass_sphere",
+         {"COSIG_K": "64", "COSIG_K_PRIMARY": "32"}),
+        ("glass-K128-KP32", "glass_sphere",
+         {"COSIG_K": "128", "COSIG_K_PRIMARY": "32"}),
+    ],
     # Glass decomposition refresh at the current design point.
     "stagePG": [
         ("glass-full", "glass_sphere", {}),
