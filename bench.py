@@ -201,6 +201,42 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     return result
 
 
+def _device_watchdog(timeout_s: float = 600.0):
+    """Fail fast (one JSON error line) if device enumeration hangs.
+
+    The axon tunnel has been observed to hang indefinitely inside
+    jax.devices() while the plugin initializes fine — an uninterruptible
+    C call, so the watchdog emits the contract line and hard-exits
+    rather than letting the driver's bench run hang silently. Generous
+    timeout: healthy first contact is < 30 s."""
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        import jax
+
+        info["n"] = len(jax.devices())
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(
+            json.dumps(
+                {
+                    "metric": "Mrays/s glass_sphere (TPU unreachable: "
+                              "device enumeration hung)",
+                    "value": 0.0,
+                    "unit": "Mrays/s",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="glass_sphere")
@@ -210,6 +246,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--emit-details", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    _device_watchdog()
 
     if args.all:
         # One subprocess per config: a device->host readback poisons
