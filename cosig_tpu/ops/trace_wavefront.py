@@ -418,8 +418,13 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
         pltpu.SMEM((1, 128), jnp.int32),
         pltpu.VMEM((2, K, 128 if stream else cl.GEOM_COMPS), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
-        # raysmx (MXU limb staging; disjoint closest/any-hit row bands)
-        pltpu.VMEM((128, R), jnp.bfloat16),
+        # raysmx (MXU limb staging): full mode needs disjoint closest/
+        # any-hit row bands (128); mixed mode stages closest-hit only
+        # (64); VPU-only kernels get a dummy allocation.
+        pltpu.VMEM(
+            (128, R) if mxu == 1 else (64, R) if mxu == 2 else (16, 128),
+            jnp.bfloat16,
+        ),
     ]
     geom_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms
