@@ -66,6 +66,18 @@ _P2_TAU = np.float32(float(os.environ.get("COSIG_PHASE2_TAU", "0.5")))
 # unstreamed geometry, cluster set built with sub-AABBs).
 _SUBG = os.environ.get("COSIG_SUBG") == "1"
 
+# Batched MXU visits (COSIG_MXU_BATCH=B, MXU path only): process the
+# compacted visit list in chunks of B clusters — gather the B (5K, 64)
+# operand blocks, run ONE (B*5K, 64) @ (64, w) pair-test dot per
+# sub-packet window, then the per-block winner selection on the dot's
+# row slices. Removes the per-visit dot dispatch (B-fold fewer, B-fold
+# taller GEMMs: at K=32, M goes 160 -> 160*B, so the 128-row MXU tiles
+# fill) and amortizes the scalar list/loop overhead that killed the SUBG
+# experiment. Exact: chunk padding re-visits a real cluster and both
+# folds (lexicographic (t, gid) closest-hit, max-occlusion any-hit) are
+# idempotent, so duplicate visits cannot change any lane.
+_MXU_BATCH = int(os.environ.get("COSIG_MXU_BATCH", "0"))
+
 from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams
 from cosig_tpu.ops import rng
@@ -693,6 +705,90 @@ def make_traverse(
                 riota = jax.lax.broadcasted_iota(
                     jnp.int32, (K, R // S), 0
                 ).astype(F)
+
+                def mxu_sel(out, gac_c, off, w):
+                    """Winner selection over a precomputed pair-test dot
+                    ``out`` (5K, w) for ONE cluster block — the selection
+                    half of ``mt_mxu`` (see its docstring for the full
+                    contract); split out so the batched visit loop
+                    (COSIG_MXU_BATCH) can run one tall gathered dot and
+                    then select per block on its row slices."""
+                    va, vb, vc = out[0:K], out[K : 2 * K], out[2 * K : 3 * K]
+                    s, num = out[3 * K : 4 * K], out[4 * K : 5 * K]
+                    inv_s = F(1.0) / s
+                    t = num * inv_s
+                    valid = (
+                        (jnp.abs(s) >= EPSILON)
+                        & (va * s >= F(0.0))
+                        & (vb * s >= F(0.0))
+                        & (vc * s >= F(0.0))
+                        & (t > EPSILON)
+                    )
+                    if any_hit:
+                        if w == R:
+                            mts = max_t
+                            cur = best_ref[0:1]
+                        else:
+                            mts = best_ref[15:16, off : off + w]
+                            cur = best_ref[0:1, off : off + w]
+                        occ = jnp.max(
+                            (valid & (t <= mts)).astype(F), axis=0, keepdims=True
+                        )
+                        merged = jnp.maximum(cur, occ)
+                        if w == R:
+                            best_ref[0:1] = merged
+                        else:
+                            best_ref[0:1, off : off + w] = merged
+                        return
+                    tm = jnp.where(valid, t, INF)
+                    tmin = jnp.min(tm, axis=0, keepdims=True)
+                    if os.environ.get("COSIG_MXU_OH") == "le":
+                        # A/B lever for the TPU miscompile hunt: <= is the
+                        # same boolean set as == when tmin = min(tm), but a
+                        # different compare op for Mosaic to lower.
+                        ist = tm <= tmin
+                    else:
+                        ist = tm == tmin
+                    cand = jnp.where(ist, riota, F(K))
+                    rmin = jnp.min(cand, axis=0, keepdims=True)
+                    oh = (ist & (riota == rmin)).astype(F)
+                    so3 = jnp.dot(
+                        gac_c, oh.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )  # (48, w): 3 limb blocks of the 16 attribute rows
+                    so = so3[0:16] + so3[16:32] + so3[32:48]
+                    gmin = so[0:1]
+                    # Factored winner u/v: sel(vb*inv_s) == sel(vb) *
+                    # sel(inv_s) for a one-hot mask (same two floats
+                    # multiply). A tmin==INF "winner" yields garbage u/v
+                    # (VPU path yields 0) — downstream identical: normal
+                    # rows are only read where hit = t < INF.
+                    inv_w = jnp.sum(oh * inv_s, axis=0, keepdims=True)
+                    u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
+                    v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
+                    w_c = F(1.0) - u_c - v_c
+                    nx = w_c * so[2:3] + u_c * so[5:6] + v_c * so[8:9]
+                    ny = w_c * so[3:4] + u_c * so[6:7] + v_c * so[9:10]
+                    nz = w_c * so[4:5] + u_c * so[7:8] + v_c * so[10:11]
+                    mat_c = so[1:2]
+
+                    def bref(row):
+                        if w == R:
+                            return best_ref[row : row + 1]
+                        return best_ref[row : row + 1, off : off + w]
+
+                    def bset(row, val):
+                        if w == R:
+                            best_ref[row : row + 1] = val
+                        else:
+                            best_ref[row : row + 1, off : off + w] = val
+
+                    bt = bref(0)
+                    better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
+                    for row, new in (
+                        (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
+                    ):
+                        bset(row, jnp.where(better, new, bref(row)))
             elif S > 1:
                 sub_rays = [
                     tuple(
@@ -757,82 +853,7 @@ def make_traverse(
                     accumulation ULPs (compiled-TPU only, see the mxu
                     note at the top of make_traverse)."""
                     out = jnp.dot(gmc, mxwin, preferred_element_type=jnp.float32)
-                    va, vb, vc = out[0:K], out[K : 2 * K], out[2 * K : 3 * K]
-                    s, num = out[3 * K : 4 * K], out[4 * K : 5 * K]
-                    inv_s = F(1.0) / s
-                    t = num * inv_s
-                    valid = (
-                        (jnp.abs(s) >= EPSILON)
-                        & (va * s >= F(0.0))
-                        & (vb * s >= F(0.0))
-                        & (vc * s >= F(0.0))
-                        & (t > EPSILON)
-                    )
-                    if any_hit:
-                        if w == R:
-                            mts = max_t
-                            cur = best_ref[0:1]
-                        else:
-                            mts = best_ref[15:16, off : off + w]
-                            cur = best_ref[0:1, off : off + w]
-                        occ = jnp.max(
-                            (valid & (t <= mts)).astype(F), axis=0, keepdims=True
-                        )
-                        merged = jnp.maximum(cur, occ)
-                        if w == R:
-                            best_ref[0:1] = merged
-                        else:
-                            best_ref[0:1, off : off + w] = merged
-                        return
-                    tm = jnp.where(valid, t, INF)
-                    tmin = jnp.min(tm, axis=0, keepdims=True)
-                    if os.environ.get("COSIG_MXU_OH") == "le":
-                        # A/B lever for the TPU miscompile hunt: <= is the
-                        # same boolean set as == when tmin = min(tm), but a
-                        # different compare op for Mosaic to lower.
-                        ist = tm <= tmin
-                    else:
-                        ist = tm == tmin
-                    cand = jnp.where(ist, riota, F(K))
-                    rmin = jnp.min(cand, axis=0, keepdims=True)
-                    oh = (ist & (riota == rmin)).astype(F)
-                    so3 = jnp.dot(
-                        gac, oh.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )  # (48, w): 3 limb blocks of the 16 attribute rows
-                    so = so3[0:16] + so3[16:32] + so3[32:48]
-                    gmin = so[0:1]
-                    # Factored winner u/v: sel(vb*inv_s) == sel(vb) *
-                    # sel(inv_s) for a one-hot mask (same two floats
-                    # multiply). A tmin==INF "winner" yields garbage u/v
-                    # (VPU path yields 0) — downstream identical: normal
-                    # rows are only read where hit = t < INF.
-                    inv_w = jnp.sum(oh * inv_s, axis=0, keepdims=True)
-                    u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
-                    v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
-                    w_c = F(1.0) - u_c - v_c
-                    nx = w_c * so[2:3] + u_c * so[5:6] + v_c * so[8:9]
-                    ny = w_c * so[3:4] + u_c * so[6:7] + v_c * so[9:10]
-                    nz = w_c * so[4:5] + u_c * so[7:8] + v_c * so[10:11]
-                    mat_c = so[1:2]
-
-                    def bref(row):
-                        if w == R:
-                            return best_ref[row : row + 1]
-                        return best_ref[row : row + 1, off : off + w]
-
-                    def bset(row, val):
-                        if w == R:
-                            best_ref[row : row + 1] = val
-                        else:
-                            best_ref[row : row + 1, off : off + w] = val
-
-                    bt = bref(0)
-                    better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
-                    for row, new in (
-                        (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
-                    ):
-                        bset(row, jnp.where(better, new, bref(row)))
+                    mxu_sel(out, gac, off, w)
 
                 def mt(off, w, rays9=None):
                     """Plücker/edge-volume intersection of this cluster's
@@ -957,7 +978,47 @@ def make_traverse(
                 return 0
 
             if _STUB != "visit":
-                jax.lax.fori_loop(0, n_hit, visit, 0)
+                if use_mxu and _MXU_BATCH > 1 and _STUB != "mt":
+                    # Batched visits (module note at _MXU_BATCH): chunk the
+                    # compacted list, gather the chunk's operand blocks,
+                    # ONE tall pair-test dot per sub-packet window, then
+                    # per-block selection on its row slices. The tail
+                    # chunk clamps indices to n_hit-1 — duplicate visits
+                    # are no-ops under both folds.
+                    BAT = _MXU_BATCH
+
+                    def visit_chunk(ci, _):
+                        base = ci * BAT
+                        ents = [
+                            list_smem[0, jnp.minimum(base + b, n_hit - 1)]
+                            for b in range(BAT)
+                        ]
+                        cids = [_cid(e) for e in ents]
+                        op = jnp.concatenate(
+                            [geom_mx[c] for c in cids], axis=0
+                        )  # (BAT*5K, 64) bf16
+                        gacs = [gatt[c] for c in cids]
+                        for sp in range(S):
+                            outw = jnp.dot(
+                                op, sub_mx[sp],
+                                preferred_element_type=jnp.float32,
+                            )  # (BAT*5K, R/S)
+                            for b in range(BAT):
+                                ob = outw[b * 5 * K : (b + 1) * 5 * K]
+                                if S == 1:
+                                    mxu_sel(ob, gacs[b], 0, R)
+                                else:
+                                    @pl.when(
+                                        (((ents[b] & 0xFF) >> sp) & 1) > 0
+                                    )
+                                    def _(ob=ob, g=gacs[b], sp=sp):
+                                        mxu_sel(ob, g, sp * RS, RS)
+                        return 0
+
+                    n_chunk = (n_hit + BAT - 1) // BAT
+                    jax.lax.fori_loop(0, n_chunk, visit_chunk, 0)
+                else:
+                    jax.lax.fori_loop(0, n_hit, visit, 0)
 
         # ---- analytic primitive fold (optional) ----
         def _prim_fold(p, gid_val, tp, nxw, nyw, nzw, valid):

@@ -446,6 +446,19 @@ def test_wavefront_mxu_path(scene1, monkeypatch):
     mix, r2 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
     assert float(r1) == float(r2)
     np.testing.assert_array_equal(np.asarray(mix), np.asarray(mxu))
+    # Batched visits (COSIG_MXU_BATCH): chunked gathered dots + per-block
+    # selection must be EXACTLY the per-visit MXU result — the same pair
+    # set through the same selection arithmetic, and duplicate tail
+    # visits are no-ops under both folds (kernel_core._MXU_BATCH note).
+    monkeypatch.delenv("COSIG_MXU_SHADOW", raising=False)
+    from cosig_tpu.ops import kernel_core
+    for bat in (4, 8):
+        monkeypatch.setattr(kernel_core, "_MXU_BATCH", bat)
+        bimg, rb = trace_wavefront.render_wavefront(
+            cs, params, cfg, interpret=True
+        )
+        assert float(rb) == float(r1)
+        np.testing.assert_array_equal(np.asarray(bimg), np.asarray(mxu))
 
 
 @pytest.mark.parametrize("tr", [2048, 8192, 16384])
