@@ -120,6 +120,25 @@ STAGES = {
         ("large-MXUcb", "large_mesh",
          {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
     ],
+    # Batched MXU visits ABAB (run only after tools/mxu_verify.py is
+    # green for the matching mode): chunked gathered dots vs per-visit
+    # dots, mixed mode, incl. the big-K combination the batched design
+    # targets (K=128 quarters C_pad AND the batch fills the MXU).
+    "stageMB": [
+        ("glass-MXUc", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
+        ("glass-MXUc-b4", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0", "COSIG_MXU_BATCH": "4"}),
+        ("glass-MXUc2", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
+        ("glass-MXUc-b8", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0", "COSIG_MXU_BATCH": "8"}),
+        ("large-MXUc-K128", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0", "COSIG_K": "128"}),
+        ("large-MXUc-K128-b4", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0", "COSIG_K": "128",
+          "COSIG_MXU_BATCH": "4"}),
+    ],
     # Upward cluster-size sweep (VPU path): bigger K quarters the bounce
     # stages' per-ray cull grid (large_mesh C_pad 1024 -> 256 at K=128),
     # the dominant large_mesh cost; MT per-visit cost doubles per K step
