@@ -554,6 +554,28 @@ def make_traverse(
 
             return jax.lax.cond(f != 0, emit_all, lambda nn: nn, n)
 
+        # Batched MXU visits (_MXU_BATCH note at module top). At S > 1 the
+        # compaction emits PER-SUB-PACKET lists (stride C_pad inside
+        # list_smem) so each sub-packet's chunked dots gather only its own
+        # flagged clusters — no union inflation (pair work identical to
+        # the per-visit form) and no per-(block, sp) branches in the visit
+        # loop (every gathered block is known flagged).
+        batched = use_mxu and _MXU_BATCH > 1 and _STUB != "mt"
+        batched_sp = batched and S > 1
+
+        def compact_entry_sp(c, ns):
+            f = flags_smem[0, c]
+            new = []
+            for sp in range(S):
+                bit = (f >> sp) & 1
+
+                @pl.when(bit > 0)
+                def _(n_sp=ns[sp], sp=sp):
+                    list_smem[0, sp * C_pad + n_sp] = c
+
+                new.append(ns[sp] + jnp.where(bit > 0, 1, 0))
+            return tuple(new)
+
         # Two-phase progressive cull (COSIG_PHASE2=1, frustum single-block
         # only): phase 0 visits clusters entered at <= tau (an entry-
         # distance split of the flagged set); phase 1 re-culls the far set
@@ -629,7 +651,12 @@ def make_traverse(
                 copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
                 copy.start()
                 copy.wait()
-                n_hit = jax.lax.fori_loop(0, C, compact_entry, 0)
+                if batched_sp:
+                    n_hits = jax.lax.fori_loop(
+                        0, C, compact_entry_sp, (0,) * S
+                    )
+                else:
+                    n_hit = jax.lax.fori_loop(0, C, compact_entry, 0)
             else:
                 # Hierarchical cull for large scenes: the (R, C_pad) slab test
                 # would blow VMEM, so test CULL_BLOCK-cluster superblock unions
@@ -663,19 +690,26 @@ def make_traverse(
                 copy.start()
                 copy.wait()
 
+                centry = compact_entry_sp if batched_sp else compact_entry
+
                 def sb_compact(s, n):
                     hi = jnp.minimum((s + 1) * GB, C)
 
                     return jax.lax.cond(
                         sb_smem[0, s] > 0,
                         lambda nn: jax.lax.fori_loop(
-                            s * GB, hi, compact_entry, nn
+                            s * GB, hi, centry, nn
                         ),
                         lambda nn: nn,
                         n,
                     )
 
-                n_hit = jax.lax.fori_loop(0, n_blocks, sb_compact, 0)
+                sb_init = (0,) * S if batched_sp else 0
+                sb_out = jax.lax.fori_loop(0, n_blocks, sb_compact, sb_init)
+                if batched_sp:
+                    n_hits = sb_out
+                else:
+                    n_hit = sb_out
 
             # ---- stage 3: intersect only the hit clusters ----
             def _cid(entry):
@@ -978,41 +1012,69 @@ def make_traverse(
                 return 0
 
             if _STUB != "visit":
-                if use_mxu and _MXU_BATCH > 1 and _STUB != "mt":
-                    # Batched visits (module note at _MXU_BATCH): chunk the
-                    # compacted list, gather the chunk's operand blocks,
-                    # ONE tall pair-test dot per sub-packet window, then
-                    # per-block selection on its row slices. The tail
-                    # chunk clamps indices to n_hit-1 — duplicate visits
-                    # are no-ops under both folds.
+                if batched_sp:
+                    # Batched visits, per-sub-packet lists (_MXU_BATCH /
+                    # compact_entry_sp notes): for each sub-packet, chunk
+                    # ITS list, gather the chunk's operand blocks, ONE
+                    # tall pair-test dot against the sub-packet's ray
+                    # window, per-block selection on the dot's row slices
+                    # — branch-free (every gathered block is flagged).
+                    # Tail chunks clamp to n_sp-1; duplicate visits are
+                    # no-ops under both folds.
                     BAT = _MXU_BATCH
+                    for sp in range(S):
+                        n_sp = n_hits[sp]
 
-                    def visit_chunk(ci, _):
-                        base = ci * BAT
-                        ents = [
-                            list_smem[0, jnp.minimum(base + b, n_hit - 1)]
-                            for b in range(BAT)
-                        ]
-                        cids = [_cid(e) for e in ents]
-                        op = jnp.concatenate(
-                            [geom_mx[c] for c in cids], axis=0
-                        )  # (BAT*5K, 64) bf16
-                        gacs = [gatt[c] for c in cids]
-                        for sp in range(S):
+                        def visit_chunk_sp(ci, _, sp=sp, n_sp=n_sp):
+                            base = ci * BAT
+                            cids = [
+                                list_smem[
+                                    0,
+                                    sp * C_pad
+                                    + jnp.minimum(base + b, n_sp - 1),
+                                ]
+                                for b in range(BAT)
+                            ]
+                            op = jnp.concatenate(
+                                [geom_mx[c] for c in cids], axis=0
+                            )  # (BAT*5K, 64) bf16
+                            gacs = [gatt[c] for c in cids]
                             outw = jnp.dot(
                                 op, sub_mx[sp],
                                 preferred_element_type=jnp.float32,
                             )  # (BAT*5K, R/S)
                             for b in range(BAT):
-                                ob = outw[b * 5 * K : (b + 1) * 5 * K]
-                                if S == 1:
-                                    mxu_sel(ob, gacs[b], 0, R)
-                                else:
-                                    @pl.when(
-                                        (((ents[b] & 0xFF) >> sp) & 1) > 0
-                                    )
-                                    def _(ob=ob, g=gacs[b], sp=sp):
-                                        mxu_sel(ob, g, sp * RS, RS)
+                                mxu_sel(
+                                    outw[b * 5 * K : (b + 1) * 5 * K],
+                                    gacs[b], sp * RS, RS,
+                                )
+                            return 0
+
+                        jax.lax.fori_loop(
+                            0, (n_sp + BAT - 1) // BAT, visit_chunk_sp, 0
+                        )
+                elif batched:
+                    # S == 1: one whole-packet list, same chunked form.
+                    BAT = _MXU_BATCH
+
+                    def visit_chunk(ci, _):
+                        base = ci * BAT
+                        cids = [
+                            _cid(list_smem[0, jnp.minimum(base + b, n_hit - 1)])
+                            for b in range(BAT)
+                        ]
+                        op = jnp.concatenate(
+                            [geom_mx[c] for c in cids], axis=0
+                        )
+                        gacs = [gatt[c] for c in cids]
+                        outw = jnp.dot(
+                            op, sub_mx[0], preferred_element_type=jnp.float32
+                        )
+                        for b in range(BAT):
+                            mxu_sel(
+                                outw[b * 5 * K : (b + 1) * 5 * K],
+                                gacs[b], 0, R,
+                            )
                         return 0
 
                     n_chunk = (n_hit + BAT - 1) // BAT

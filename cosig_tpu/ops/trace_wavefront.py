@@ -411,8 +411,16 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
         pltpu.VMEM((18, R), jnp.float32),  # best-hit rows + staged rays + p2 bound
         pltpu.VMEM((1, C_pad), jnp.int32),
         pltpu.SMEM((1, C_pad), jnp.int32),
-        # Visit list: up to G entries per cluster at subgroup granularity.
-        pltpu.SMEM((1, C_pad * max(1, n_subg)), jnp.int32),
+        # Visit list: up to G entries per cluster at subgroup granularity;
+        # batched MXU visits at S > 1 (kernel_core._MXU_BATCH) keep S
+        # per-sub-packet lists at stride C_pad.
+        pltpu.SMEM(
+            (1, C_pad * max(
+                1, n_subg,
+                _subpackets_for(R) if (mxu and _kc._MXU_BATCH > 1) else 1,
+            )),
+            jnp.int32,
+        ),
         pltpu.SemaphoreType.DMA,
         pltpu.VMEM((1, 128), jnp.int32),
         pltpu.SMEM((1, 128), jnp.int32),
