@@ -76,12 +76,18 @@ DEFAULT_K = 32
 # 3:6 direction, 6:9 ray moment w, 9 constant 1. Column c*10+i of
 # geom_mx[c] holds limb j_c of coefficient i; the kernel stages limb k_c
 # of ray input i in raysmx row c*10+i.
-# Row groups of geom_mx[c] (5K, 64): [0,K) va, [K,2K) vb, [2K,3K) vc,
+# Row groups of geom_mx[c] (6K, 64): [0,K) va, [K,2K) vb, [2K,3K) vc,
 # [3K,4K) s = d.n, [4K,5K) num = nda - o.n (the t numerator; nda rides
-# the constant-1 input so t = num / s needs no extra subtract).
+# the constant-1 input so t = num / s needs no extra subtract),
+# [5K,6K) gid (also on the constant-1 input — the dot materializes the
+# per-row gid at FULL (K, w) shape, giving the chunk-level selection a
+# cross-block tie key with no (K, 1) broadcast and no riota; exact:
+# gid < 2^24 splits into 3 bf16 limbs and the dot sums 3 exact products
+# in f32). Per-visit/per-block paths slice rows [0, 5K) — gid costs
+# them nothing.
 MX_COMBOS = ((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0))
 MX_COLS = 64  # 10 inputs x 6 limb combos, zero-padded
-MX_PLANES = 5
+MX_PLANES = 6
 # gatt (48, K) bf16: row j*16 + a = limb j of attribute a, so the kernel
 # reconstructs exact f32 attributes as so3[0:16] + so3[16:32] + so3[32:48]
 # after the one-hot contraction (products with a 0/1 mask are exact).
@@ -120,6 +126,7 @@ def _pack_mx(geom: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     coef[:, 3 * k:4 * k, 3:6] = geom[:, :, GN:GN + 3]
     coef[:, 4 * k:5 * k, 0:3] = -geom[:, :, GN:GN + 3]
     coef[:, 4 * k:5 * k, 9] = geom[:, :, NDA]
+    coef[:, 5 * k:6 * k, 9] = geom[:, :, GID]
     lim = _limbs(coef)
     mx = np.zeros((c, MX_PLANES * k, MX_COLS), F32)
     for ci, (j, _) in enumerate(MX_COMBOS):

@@ -78,6 +78,16 @@ _SUBG = os.environ.get("COSIG_SUBG") == "1"
 # idempotent, so duplicate visits cannot change any lane.
 _MXU_BATCH = int(os.environ.get("COSIG_MXU_BATCH", "0"))
 
+# Chunk-level winner selection for batched visits (default on; 0 = the
+# per-block mxu_sel form as the A/B): ONE fold per chunk — gather the
+# chunk PLANE-MAJOR so va/vb/vc/s/num/gid row groups are contiguous
+# (B*K, w) slices of one dot, mask the tail chunk's duplicate blocks,
+# and tie-break across blocks on the MXU-computed gid plane
+# (clusters.MX_PLANES note). B-fold fewer selection ops (each B-fold
+# bigger), one attribute contraction per chunk with contraction depth
+# B*K, one best-row fold per chunk.
+_MXU_CSEL = os.environ.get("COSIG_MXU_CSEL", "1") != "0"
+
 from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams
 from cosig_tpu.ops import rng
@@ -823,6 +833,102 @@ def make_traverse(
                         (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
                     ):
                         bset(row, jnp.where(better, new, bref(row)))
+
+                def chunk_sel(cids, n_real, mxwin, off, w):
+                    """Chunk-level batched visit (_MXU_CSEL note): gather
+                    the chunk's operand blocks PLANE-MAJOR, one
+                    (P*B*K, w) pair-test dot, ONE winner fold for the
+                    whole chunk instead of B mxu_sel calls. The
+                    cross-block tie key is the MXU-computed gid plane
+                    (exact; no riota / (K, 1) broadcast in this path).
+                    ``n_real`` masks the tail chunk's clamped duplicate
+                    blocks out of the closest-hit fold (a duplicate gid
+                    would double the one-hot); any-hit needs no mask
+                    (occlusion is idempotent). Miss lanes may carry
+                    different garbage winner attributes than the
+                    per-block form (t stays INF; downstream reads
+                    normals only where hit) — images are bit-identical."""
+                    B = len(cids)
+                    BK = B * K
+                    blocks = [geom_mx[c] for c in cids]
+                    P = 5 if any_hit else 6
+                    op = jnp.concatenate(
+                        [blk[p * K : (p + 1) * K] for p in range(P)
+                         for blk in blocks],
+                        axis=0,
+                    )  # (P*B*K, 64) bf16, plane-major
+                    out = jnp.dot(op, mxwin, preferred_element_type=jnp.float32)
+                    va, vb, vc = out[0:BK], out[BK : 2 * BK], out[2 * BK : 3 * BK]
+                    s, num = out[3 * BK : 4 * BK], out[4 * BK : 5 * BK]
+                    inv_s = F(1.0) / s
+                    t = num * inv_s
+                    valid = (
+                        (jnp.abs(s) >= EPSILON)
+                        & (va * s >= F(0.0))
+                        & (vb * s >= F(0.0))
+                        & (vc * s >= F(0.0))
+                        & (t > EPSILON)
+                    )
+                    if any_hit:
+                        if w == R:
+                            mts = max_t
+                            cur = best_ref[0:1]
+                        else:
+                            mts = best_ref[15:16, off : off + w]
+                            cur = best_ref[0:1, off : off + w]
+                        occ = jnp.max(
+                            (valid & (t <= mts)).astype(F), axis=0, keepdims=True
+                        )
+                        merged = jnp.maximum(cur, occ)
+                        if w == R:
+                            best_ref[0:1] = merged
+                        else:
+                            best_ref[0:1, off : off + w] = merged
+                        return
+                    gidm = out[5 * BK : 6 * BK]
+                    rowblk = jax.lax.broadcasted_iota(
+                        jnp.int32, (BK, w), 0
+                    ) // np.int32(K)
+                    tm = jnp.where(valid & (rowblk < n_real), t, INF)
+                    tmin = jnp.min(tm, axis=0, keepdims=True)
+                    ist = tm == tmin
+                    cand = jnp.where(ist, gidm, cl.GID_PAD)
+                    gmin = jnp.min(cand, axis=0, keepdims=True)
+                    oh = (ist & (gidm == gmin)).astype(F)
+                    gac_chunk = jnp.concatenate(
+                        [gatt[c] for c in cids], axis=1
+                    )  # (48, B*K)
+                    so3 = jnp.dot(
+                        gac_chunk, oh.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                    so = so3[0:16] + so3[16:32] + so3[32:48]
+                    inv_w = jnp.sum(oh * inv_s, axis=0, keepdims=True)
+                    u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
+                    v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
+                    w_c = F(1.0) - u_c - v_c
+                    nx = w_c * so[2:3] + u_c * so[5:6] + v_c * so[8:9]
+                    ny = w_c * so[3:4] + u_c * so[6:7] + v_c * so[9:10]
+                    nz = w_c * so[4:5] + u_c * so[7:8] + v_c * so[10:11]
+                    mat_c = so[1:2]
+
+                    def bref(row):
+                        if w == R:
+                            return best_ref[row : row + 1]
+                        return best_ref[row : row + 1, off : off + w]
+
+                    def bset(row, val):
+                        if w == R:
+                            best_ref[row : row + 1] = val
+                        else:
+                            best_ref[row : row + 1, off : off + w] = val
+
+                    bt = bref(0)
+                    better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
+                    for row, new in (
+                        (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
+                    ):
+                        bset(row, jnp.where(better, new, bref(row)))
             elif S > 1:
                 sub_rays = [
                     tuple(
@@ -885,8 +991,13 @@ def make_traverse(
                     (t, gid) winner as ``mt`` for identical plane values;
                     plane values differ from the FMA chain by dot-
                     accumulation ULPs (compiled-TPU only, see the mxu
-                    note at the top of make_traverse)."""
-                    out = jnp.dot(gmc, mxwin, preferred_element_type=jnp.float32)
+                    note at the top of make_traverse). Rows [5K, 6K)
+                    (the gid plane, chunk-level selection only) are
+                    sliced off."""
+                    out = jnp.dot(
+                        gmc[0 : 5 * K], mxwin,
+                        preferred_element_type=jnp.float32,
+                    )
                     mxu_sel(out, gac, off, w)
 
                 def mt(off, w, rays9=None):
@@ -1035,8 +1146,14 @@ def make_traverse(
                                 ]
                                 for b in range(BAT)
                             ]
+                            if _MXU_CSEL:
+                                chunk_sel(
+                                    cids, n_sp - base, sub_mx[sp],
+                                    sp * RS, RS,
+                                )
+                                return 0
                             op = jnp.concatenate(
-                                [geom_mx[c] for c in cids], axis=0
+                                [geom_mx[c][0 : 5 * K] for c in cids], axis=0
                             )  # (BAT*5K, 64) bf16
                             gacs = [gatt[c] for c in cids]
                             outw = jnp.dot(
@@ -1063,8 +1180,11 @@ def make_traverse(
                             _cid(list_smem[0, jnp.minimum(base + b, n_hit - 1)])
                             for b in range(BAT)
                         ]
+                        if _MXU_CSEL:
+                            chunk_sel(cids, n_hit - base, sub_mx[0], 0, R)
+                            return 0
                         op = jnp.concatenate(
-                            [geom_mx[c] for c in cids], axis=0
+                            [geom_mx[c][0 : 5 * K] for c in cids], axis=0
                         )
                         gacs = [gatt[c] for c in cids]
                         outw = jnp.dot(

@@ -379,7 +379,7 @@ def test_mx_packing(scene1):
     mx = np.asarray(cs.geom_mx).astype(np.float64)
     att = np.asarray(cs.gatt).astype(np.float32)
     c, k, _ = geom.shape
-    assert mx.shape == (c, 5 * k, cl.MX_COLS)
+    assert mx.shape == (c, 6 * k, cl.MX_COLS)
     assert att.shape == (c, 3 * cl.ATT_ROWS, k)
     # gid ascending within every cluster (padding rows GID_PAD last).
     gid = geom[:, :, cl.GID]
@@ -395,7 +395,7 @@ def test_mx_packing(scene1):
     r64 = np.zeros(64, np.float64)
     for ci, (_, kc) in enumerate(cl.MX_COMBOS):
         r64[ci * 10:ci * 10 + 10] = limbs[kc]
-    out = mx @ r64  # (c, 5k) float64 eval of the bf16-exact products
+    out = mx @ r64  # (c, 6k) float64 eval of the bf16-exact products
     dvec = np.concatenate([d, w]).astype(np.float64)
     g64 = geom.astype(np.float64)
     va = g64[:, :, cl.VA:cl.VA + 6] @ dvec
@@ -403,9 +403,13 @@ def test_mx_packing(scene1):
     vc = g64[:, :, cl.VC:cl.VC + 6] @ dvec
     s = g64[:, :, cl.GN:cl.GN + 3] @ d.astype(np.float64)
     num = g64[:, :, cl.NDA] - g64[:, :, cl.GN:cl.GN + 3] @ o.astype(np.float64)
-    want = np.concatenate([va, vb, vc, s, num], axis=1)
+    want = np.concatenate([va, vb, vc, s, num, gid], axis=1)
     scale = (np.abs(g64[:, :, cl.VA:cl.VA + 6]) @ np.abs(dvec)).max() + 1.0
     assert np.abs(out - want).max() <= 1e-6 * scale
+    # The gid plane (chunk-level selection tie key) reconstructs EXACTLY:
+    # gid < 2^24 is 3 bf16 limbs, constant-1 input, f64 eval of the
+    # bf16-exact products.
+    np.testing.assert_array_equal(out[:, 5 * k:6 * k], gid)
     # Attribute limb reconstruction is EXACT.
     rec = att[:, 0:16] + att[:, 16:32] + att[:, 32:48]
     np.testing.assert_array_equal(rec[:, 0], gid)
@@ -446,14 +450,41 @@ def test_wavefront_mxu_path(scene1, monkeypatch):
     mix, r2 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
     assert float(r1) == float(r2)
     np.testing.assert_array_equal(np.asarray(mix), np.asarray(mxu))
-    # Batched visits (COSIG_MXU_BATCH): chunked gathered dots + per-block
-    # selection must be EXACTLY the per-visit MXU result — the same pair
-    # set through the same selection arithmetic, and duplicate tail
-    # visits are no-ops under both folds (kernel_core._MXU_BATCH note).
+    # Batched visits (COSIG_MXU_BATCH, default chunk-level selection):
+    # chunked gathered dots must be EXACTLY the per-visit MXU result —
+    # the same pair set; the chunk fold's gid-plane tie key equals the
+    # per-visit (t, gid) rule (kernel_core._MXU_BATCH / _MXU_CSEL notes).
     monkeypatch.delenv("COSIG_MXU_SHADOW", raising=False)
     from cosig_tpu.ops import kernel_core
-    for bat in (4, 8):
+    monkeypatch.setattr(kernel_core, "_MXU_BATCH", 4)
+    bimg, rb = trace_wavefront.render_wavefront(
+        cs, params, cfg, interpret=True
+    )
+    assert float(rb) == float(r1)
+    np.testing.assert_array_equal(np.asarray(bimg), np.asarray(mxu))
+
+
+@pytest.mark.slow
+def test_wavefront_mxu_batch_variants(scene1, monkeypatch):
+    """Batched-visit variants beyond the fast gate: B=8 chunk-level and
+    the per-block mxu_sel A/B form (COSIG_MXU_CSEL=0) — all bit-equal to
+    the per-visit MXU image (duplicate tail visits are no-ops under both
+    folds)."""
+    from cosig_tpu.ops import kernel_core, trace_wavefront
+
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(64, 64), max_depth=3, aa_samples=2,
+        enable_soft_shadows=True,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays, k=32)
+    monkeypatch.setenv("COSIG_MXU", "force")
+    mxu, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    for bat, csel in ((8, True), (4, False)):
         monkeypatch.setattr(kernel_core, "_MXU_BATCH", bat)
+        monkeypatch.setattr(kernel_core, "_MXU_CSEL", csel)
         bimg, rb = trace_wavefront.render_wavefront(
             cs, params, cfg, interpret=True
         )
