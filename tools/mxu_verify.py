@@ -39,6 +39,12 @@ MODES = {
     "full-b4": {"COSIG_MXU": "1", "COSIG_MXU_BATCH": "4"},
     "mixed-b8": {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0",
                  "COSIG_MXU_BATCH": "8"},
+    # Per-block selection A/B (CSEL=0) under batch, for triage if the
+    # chunk-level default behaves differently from per-visit on TPU.
+    "full-b4-pb": {"COSIG_MXU": "1", "COSIG_MXU_BATCH": "4",
+                   "COSIG_MXU_CSEL": "0"},
+    "mixed-b4-pb": {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0",
+                    "COSIG_MXU_BATCH": "4", "COSIG_MXU_CSEL": "0"},
 }
 DEFAULT_MODES = ("base", "mixed", "mixed-b4", "full", "full-oh")
 
