@@ -27,6 +27,7 @@ layout, no relayouts):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -269,20 +270,80 @@ def build_clusters(
             gatt=jnp.asarray(att),
         )
 
-    bvh = build_bvh(tris, max_leaf=k)
+    # COSIG_LEAF_MULT > 1 (default 4): stop the median split at mult*k
+    # triangles and emit BALANCED near-full k-chunks over each leaf's
+    # DFS range — median leaves land in (k/2, k], capping fill at ~70 %
+    # even after packing, while chunking a <= mult*k leaf yields
+    # uniformly ~87 %-full chunks whose boxes stay tight (the chunk
+    # boundary cuts DFS order inside a small subtree). Host cull model
+    # at k=32, mult=4 + packing: pair slots/ray -27 % glass / -19 %
+    # large_mesh / -26 % walls on primary packets AND per-ray visits
+    # 2.28 -> 1.30 glass, 2.67 -> 1.79 large_mesh (bounce culls) with
+    # C down ~25 % (narrower culls, fewer per-visit overheads).
+    leaf_mult = int(os.environ.get("COSIG_LEAF_MULT", "4"))
+    bvh = build_bvh(tris, max_leaf=k * leaf_mult)
 
-    # Leaves of the K-leaf BVH are the clusters; their triangle ranges are
+    # Leaves of the BVH are the clusters; their triangle ranges are
     # contiguous in the reordered soup.
     leaf_idx = np.nonzero(bvh.count > 0)[0]
     ranges = [
         (int(bvh.left_or_first[i]), int(bvh.count[i]), i) for i in leaf_idx
     ]
-    # Oversized leaves (degenerate partitions) split into K-sized chunks
-    # sharing the leaf AABB.
+    # Leaves above k (leaf_mult, or degenerate partitions) split into
+    # balanced <= k chunks over the leaf's DFS order.
     chunks = []
     for first, count, node in ranges:
-        for off in range(0, count, k):
-            chunks.append((first + off, min(k, count - off), node))
+        n_ch = -(-count // k)
+        lo = count // n_ch
+        extra = count - lo * n_ch  # first `extra` chunks get lo+1
+        off = 0
+        for i in range(n_ch):
+            sz = lo + (1 if i < extra else 0)
+            chunks.append((first + off, sz, node))
+            off += sz
+
+    # Leaf packing (COSIG_CLUSTER_PACK, default on): the median-split
+    # leaves average ~65 % fill at k=32, and padding rows cost full pair
+    # tests in every visit. DFS-ordered leaves partition the reordered
+    # soup contiguously, so greedily merging CONSECUTIVE leaves up to k
+    # (guarded: the merged AABB's surface area must not exceed PACK_SA x
+    # the parts' sum — sibling leaves merge, distant subtree boundaries
+    # don't) lifts fill toward 1 and shrinks C, cutting both pair slots
+    # per visit set and cull width. Exact by construction: the winner
+    # fold is clustering-invariant (gated by
+    # test_wavefront_mixed_granularity_exact and the packing tests).
+    if os.environ.get("COSIG_CLUSTER_PACK", "1") != "0" and len(chunks) > 1:
+        sa_cap = float(os.environ.get("COSIG_PACK_SA", "2.0"))
+        tri_min = np.minimum(np.minimum(tris.v0, tris.v1), tris.v2)
+        tri_max = np.maximum(np.maximum(tris.v0, tris.v1), tris.v2)
+        order = bvh.order
+
+        def _range_box(first, count):
+            sl = order[first:first + count]
+            return tri_min[sl].min(axis=0), tri_max[sl].max(axis=0)
+
+        def _sa(lo, hi):
+            d = hi - lo
+            return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+        chunks.sort(key=lambda ch: ch[0])
+        packed = []
+        cf, cc, cn = chunks[0]
+        clo, chi = _range_box(cf, cc)
+        for first, count, node in chunks[1:]:
+            if cc + count <= k:
+                lo, hi = _range_box(first, count)
+                mlo = np.minimum(clo, lo)
+                mhi = np.maximum(chi, hi)
+                if _sa(mlo, mhi) <= sa_cap * (_sa(clo, chi) + _sa(lo, hi)):
+                    cc += count
+                    clo, chi = mlo, mhi
+                    continue
+            packed.append((cf, cc, cn))
+            cf, cc, cn = first, count, node
+            clo, chi = _range_box(cf, cc)
+        packed.append((cf, cc, cn))
+        chunks = packed
 
     c = len(chunks)
     # Lane-pad; large cluster counts pad to whole cull blocks so the

@@ -363,6 +363,34 @@ def test_wavefront_mixed_granularity_exact(scene1):
     assert np.abs(np.asarray(mixed) - np.asarray(base)).max() == 0.0
 
 
+def test_cluster_cut_invariance(scene1, monkeypatch):
+    """Images are clustering-invariant: the packed mult-4 default cut
+    (COSIG_LEAF_MULT / COSIG_CLUSTER_PACK, ~25-40 % fewer clusters and
+    pair slots) must render bit-identically to the round-2
+    leaf-per-cluster cut — the (t, gid) winner fold is an associative
+    min over the identical pair set, and the conservative cull never
+    drops a winning pair whichever boxes wrap it."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(64, 64), max_depth=2, aa_samples=1,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    monkeypatch.setenv("COSIG_LEAF_MULT", "1")
+    monkeypatch.setenv("COSIG_CLUSTER_PACK", "0")
+    cs_old = build_clusters(arrays, k=32)
+    monkeypatch.delenv("COSIG_LEAF_MULT")
+    monkeypatch.delenv("COSIG_CLUSTER_PACK")
+    cs_new = build_clusters(arrays, k=32)
+    assert cs_new.num_clusters < cs_old.num_clusters
+    a, ra = trace_wavefront.render_wavefront(cs_old, params, cfg, interpret=True)
+    b, rb = trace_wavefront.render_wavefront(cs_new, params, cfg, interpret=True)
+    assert float(ra) == float(rb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mx_packing(scene1):
     """The limb-split MXU operands (clusters._pack_mx) must reproduce
     the MT planes at >= fp32-faithful precision: geom_mx[c] @ rays64 ==

@@ -120,6 +120,20 @@ STAGES = {
         ("large-MXUcb", "large_mesh",
          {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
     ],
+    # Packed cluster cut ABAB (COSIG_LEAF_MULT=4 + COSIG_CLUSTER_PACK=1
+    # are the defaults; the "old" rows force the round-2 cut). Host
+    # model: pair slots -19..-27 %, per-ray bounce visits -22..-43 %,
+    # C -25..-40 %. Bit-exact (test_cluster_cut_invariance).
+    "stageC": [
+        ("glass-packed", "glass_sphere", {}),
+        ("glass-oldcut", "glass_sphere",
+         {"COSIG_LEAF_MULT": "1", "COSIG_CLUSTER_PACK": "0"}),
+        ("glass-packed2", "glass_sphere", {}),
+        ("large-packed", "large_mesh", {}),
+        ("large-oldcut", "large_mesh",
+         {"COSIG_LEAF_MULT": "1", "COSIG_CLUSTER_PACK": "0"}),
+        ("large-packed2", "large_mesh", {}),
+    ],
     # Batched MXU visits ABAB (run only after tools/mxu_verify.py is
     # green for the matching mode): chunked gathered dots vs per-visit
     # dots, mixed mode, incl. the big-K combination the batched design
