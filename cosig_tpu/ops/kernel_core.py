@@ -1314,8 +1314,22 @@ def make_traverse(
 # One Whitted bounce on the shared ray-state rows
 
 
+def bounce_trace(traverse, state):
+    """The closest-hit half of a bounce: count live rays, trace them,
+    return the hit record ``(hit, t, nx, ny, nz, mat_c)``. Split out so
+    the wavefront's fission mode (COSIG_WF_FISSION, trace_wavefront) can
+    run it in its OWN kernel — the record round-trips losslessly through
+    f32 state rows (t/normals/material are f32 planes; ``hit`` is
+    recomputed as ``t < INF``, exactly the traverse epilogue's value)."""
+    ox, oy, oz = state[0:1], state[1:2], state[2:3]
+    dx, dy, dz = state[3:4], state[4:5], state[5:6]
+    alive = state[12:13] > F(0.0)
+    state[16:17] = state[16:17] + alive.astype(F)
+    return traverse(ox, oy, oz, dx, dy, dz, alive)
+
+
 def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
-                px, py, s_plane, depth_f, is_last):
+                px, py, s_plane, depth_f, is_last, rec=None):
     """One Whitted bounce on the ray-state rows (compute:356-473).
 
     ``state`` rows (f32 x R lanes): 0-2 origin, 3-5 direction,
@@ -1333,6 +1347,10 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
     so the resulting state is bit-identical to the static-True early
     return (alive := cont & ... == 0, origin/direction/attenuation
     unchanged).
+
+    ``rec``: a precomputed ``bounce_trace`` hit record (fission mode —
+    this call is then the SHADE half and ``traverse`` is used only for
+    the any-hit shadow queries); default: trace inline (fused form).
     """
     R = state.shape[-1]
     bg = (uniforms[U_BG], uniforms[U_BG + 1], uniforms[U_BG + 2])
@@ -1346,8 +1364,9 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
     scol_r, scol_g, scol_b = state[9:10], state[10:11], state[11:12]
     alive = state[12:13] > F(0.0)
 
-    state[16:17] = state[16:17] + alive.astype(F)
-    hit, t, nx, ny, nz, mat_c = traverse(ox, oy, oz, dx, dy, dz, alive)
+    if rec is None:
+        rec = bounce_trace(traverse, state)
+    hit, t, nx, ny, nz, mat_c = rec
 
     miss = alive & ~hit
     scol_r = scol_r + jnp.where(miss, at_r * bg[0], F(0.0))

@@ -45,6 +45,7 @@ from cosig_tpu.models.soa import FrameParams, StaticConfig
 from cosig_tpu.ops import camera, rng
 from cosig_tpu.ops.kernel_core import (
     COMPILER_PARAMS,
+    INF,
     STREAM_THRESHOLD_BYTES,
     U_CAM,
     U_DEPTH,
@@ -57,6 +58,7 @@ from cosig_tpu.ops.kernel_core import (
     _rsqrt_planes,
     _ruv_planes,
     bounce_core,
+    bounce_trace,
     build_lights,
     build_uniforms,
     make_traverse,
@@ -102,7 +104,43 @@ def _subpackets_for(r: int) -> int:
 R = _validate_tile_rays(int(_os.environ.get("COSIG_WF_R", "4096")))
 SUBPACKETS = _subpackets_for(R)
 ROWS = 24  # state rows (see module docstring)
-LIVE_ROWS = 17  # rows 0-16 carry data; 17-23 are alignment pad (always 0)
+LIVE_ROWS = 17  # rows 0-16 carry data; 17-23 never cross a compaction
+
+# Kernel fission (COSIG_WF_FISSION=1): split every stage into a TRACE
+# kernel (closest-hit only) and a SHADE kernel (any-hit shadows +
+# shading + secondary-ray gen), the hit record riding state rows 17-21
+# between the two pallas_calls of one depth step (t, nx, ny, nz, mat;
+# hit is recomputed as t < INF — the traverse epilogue's exact value,
+# see kernel_core.bounce_trace). Bit-identical to the fused form; costs
+# one extra state round-trip per stage. Why it exists: the open TPU
+# miscompile needs closest-hit + any-hit + secondary blocks to COEXIST
+# in one compiled kernel (STATUS "MXU traversal") — fission keeps every
+# kernel inside the verified two-of-three set, unlocking full-MXU
+# traversal (shadow MT on the MXU) even if the fused-kernel bug stands.
+_FISSION = _os.environ.get("COSIG_WF_FISSION") == "1"
+
+# Hit-record rows (fission): t, nx, ny, nz, mat.
+_REC0 = 17
+
+
+def _rec_store(state, rec):
+    hit, t, nx, ny, nz, mat_c = rec
+    state[_REC0 : _REC0 + 1] = t
+    state[_REC0 + 1 : _REC0 + 2] = nx
+    state[_REC0 + 2 : _REC0 + 3] = ny
+    state[_REC0 + 3 : _REC0 + 4] = nz
+    state[_REC0 + 4 : _REC0 + 5] = mat_c
+
+
+def _rec_load(state):
+    t = state[_REC0 : _REC0 + 1]
+    return (
+        t < INF, t,
+        state[_REC0 + 1 : _REC0 + 2],
+        state[_REC0 + 2 : _REC0 + 3],
+        state[_REC0 + 3 : _REC0 + 4],
+        state[_REC0 + 4 : _REC0 + 5],
+    )
 
 
 def _quad_grid(S: int):
@@ -130,7 +168,11 @@ def _primary_block(aa: int, tile_rays: int = None):
 
 
 def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
-                         prim_counts=(0, 0), subpackets=1, R=R):
+                         prim_counts=(0, 0), subpackets=1, R=R,
+                         fission=False):
+    """``fission=True`` stops after the closest-hit trace and stores the
+    hit record in rows 17-21; the shared shade kernel finishes the
+    bounce (see the _FISSION note)."""
     C, C_pad, K, M, L, n_subg, mxu = dims
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
@@ -245,20 +287,31 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             # scalar compaction.
             frustum=True,
         )
-        bounce_core(
-            cfg, uniforms, mats, lights, traverse, state, M, L,
-            px, py, s_plane, jnp.float32(0.0), is_last=cfg.max_depth == 1,
-        )
+        if fission:
+            _rec_store(state, bounce_trace(traverse, state))
+        else:
+            bounce_core(
+                cfg, uniforms, mats, lights, traverse, state, M, L,
+                px, py, s_plane, jnp.float32(0.0),
+                is_last=cfg.max_depth == 1,
+            )
 
     return kernel
 
 
 def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
-                        prim_counts=(0, 0), subpackets=1, R=R):
+                        prim_counts=(0, 0), subpackets=1, R=R,
+                        mode="fused"):
     """ONE bounce executable for every depth: the bounce index and the
     final-bounce flag are SMEM uniforms (U_DEPTH / U_LAST), not trace-time
     constants — cutting the wavefront compile ladder from
-    (max_depth-1) x levels Mosaic payloads to just levels."""
+    (max_depth-1) x levels Mosaic payloads to just levels.
+
+    ``mode`` (see the _FISSION note): "fused" = trace + shade in one
+    kernel (default); "trace" = closest-hit only, hit record stored in
+    rows 17-21; "shade" = read the record, shadow-trace + shade +
+    secondary rays. The shade executable also serves the primary stage
+    (the record format is stage-agnostic)."""
     C, C_pad, K, M, L, n_subg, mxu = dims
     n_sph, n_box = prim_counts
     # Experiment knob: frustum-cull bounce stages too. Compacted bounce
@@ -290,10 +343,15 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                 mxu_anyhit=mxu != 2,
                 frustum=bounce_frustum,
             )
-            bounce_core(
-                cfg, uniforms, mats, lights, traverse, state, M, L,
-                px, py, s_plane, uniforms[U_DEPTH], is_last=uniforms[U_LAST],
-            )
+            if mode == "trace":
+                _rec_store(state, bounce_trace(traverse, state))
+            else:
+                bounce_core(
+                    cfg, uniforms, mats, lights, traverse, state, M, L,
+                    px, py, s_plane, uniforms[U_DEPTH],
+                    is_last=uniforms[U_LAST],
+                    rec=_rec_load(state) if mode == "shade" else None,
+                )
 
         state_out[:, :] = state[:, :]
 
@@ -323,8 +381,10 @@ def _compact_prefix(state, group_perm, n_pad: int, eg: int):
 
     Returns ``(state, group_perm, n_alive_groups)``."""
     g = n_pad // GROUP
-    # Only the LIVE_ROWS state rows carry data (rows 17-23 are alignment
-    # pad, zero forever): permuting just those cuts the gather traffic.
+    # Only the LIVE_ROWS state rows cross a compaction (rows 17-23 are
+    # pad, or a fission hit record consumed within the SAME depth step —
+    # always overwritten before the next read): permuting just the live
+    # rows cuts the gather traffic.
     s3 = state.reshape(ROWS, g, GROUP)
     p3 = jax.lax.slice(s3, (0, 0, 0), (LIVE_ROWS, eg, GROUP))
     galive = (p3[12] > F(0.5)).any(axis=1)
@@ -522,9 +582,12 @@ def render_wavefront(
         _stage_resources(pcs, None if cset_primary is not None else stream, R,
                          interpret=interpret)
     )
+    fission = _FISSION
+    p_dims7 = (pC, pC_pad, pK, M, L, p_subg, p_mxu)
     state = pl.pallas_call(
-        _make_primary_kernel(cfg, (pC, pC_pad, pK, M, L, p_subg, p_mxu),
-                             nbx, band, p_stream, prim_counts, subpackets, R),
+        _make_primary_kernel(cfg, p_dims7,
+                             nbx, band, p_stream, prim_counts, subpackets, R,
+                             fission=fission),
         grid=(n_tiles,),
         in_specs=p_geom_specs,
         out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -534,6 +597,32 @@ def render_wavefront(
         compiler_params=COMPILER_PARAMS,
     )(uniforms, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t,
       pcs.sub_aabb_t, *p_geom_ins)
+
+    if fission:
+        # Shade half of the primary stage (the record format is
+        # stage-agnostic, so this is the same shade executable the bounce
+        # ladder uses whenever the primary traverses the same cluster
+        # set and tile size). The fused primary passes depth 0 / is_last
+        # statically; set the uniforms to the same values here.
+        uni0 = (
+            uniforms.at[U_DEPTH].set(jnp.float32(0.0))
+            .at[U_LAST].set(jnp.float32(1.0 if cfg.max_depth == 1 else 0.0))
+        )
+        state = pl.pallas_call(
+            _make_bounce_kernel(cfg, p_dims7, p_stream, prim_counts,
+                                subpackets, R, mode="shade"),
+            grid=(n_tiles,),
+            in_specs=p_geom_specs
+            + [pl.BlockSpec((ROWS, R), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
+            scratch_shapes=p_scratch + [pltpu.VMEM((ROWS, R), jnp.float32)],
+            interpret=interpret,
+            compiler_params=COMPILER_PARAMS,
+        )(uni0, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t,
+          pcs.sub_aabb_t, *p_geom_ins, state)
 
     # ---- bounce stages with compaction between ----
     # Alive groups are compacted to a prefix, so the bounce kernel only
@@ -568,8 +657,13 @@ def render_wavefront(
         assert R % Rb == 0 and Rb % 128 == 0, Rb
         Sb = int(_os.environ.get("COSIG_WF_SB", "0")) or _subpackets_for(Rb)
         assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)
-        kernel = _make_bounce_kernel(cfg, dims, stream, prim_counts,
-                                     Sb, Rb)
+        kernels = (
+            [_make_bounce_kernel(cfg, dims, stream, prim_counts, Sb, Rb,
+                                 mode=m) for m in ("trace", "shade")]
+            if fission
+            else [_make_bounce_kernel(cfg, dims, stream, prim_counts,
+                                      Sb, Rb)]
+        )
         b_scratch = (
             scratch if Rb == R
             else _stage_resources(cset, stream, Rb, frustum=bounce_frustum,
@@ -579,22 +673,23 @@ def render_wavefront(
         def run_prefix(st, uni_d, pt):
             P = pt * R
             sub = jax.lax.slice(st, (0, 0), (ROWS, P))
-            out = pl.pallas_call(
-                kernel,
-                grid=(pt * (R // Rb),),
-                in_specs=geom_specs
-                + [pl.BlockSpec((ROWS, Rb), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec((ROWS, Rb), lambda i: (0, i),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((ROWS, P), jnp.float32),
-                scratch_shapes=b_scratch
-                + [pltpu.VMEM((ROWS, Rb), jnp.float32)],
-                interpret=interpret,
-                compiler_params=COMPILER_PARAMS,
-            )(uni_d, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
-              cset.sub_aabb_t, *geom_ins, sub)
-            return jax.lax.dynamic_update_slice(st, out, (0, 0))
+            for kn in kernels:
+                sub = pl.pallas_call(
+                    kn,
+                    grid=(pt * (R // Rb),),
+                    in_specs=geom_specs
+                    + [pl.BlockSpec((ROWS, Rb), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((ROWS, Rb), lambda i: (0, i),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((ROWS, P), jnp.float32),
+                    scratch_shapes=b_scratch
+                    + [pltpu.VMEM((ROWS, Rb), jnp.float32)],
+                    interpret=interpret,
+                    compiler_params=COMPILER_PARAMS,
+                )(uni_d, cset.mats, lights, prims, cset.aabb_t,
+                  cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins, sub)
+            return jax.lax.dynamic_update_slice(st, sub, (0, 0))
 
         def at_extent(st, gp, uni_d, ext_tiles):
             st, gp, n_alive_g = _compact_prefix(

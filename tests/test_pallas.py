@@ -363,6 +363,50 @@ def test_wavefront_mixed_granularity_exact(scene1):
     assert np.abs(np.asarray(mixed) - np.asarray(base)).max() == 0.0
 
 
+def test_wavefront_fission_depth1(scene1, monkeypatch):
+    """Kernel fission (COSIG_WF_FISSION: trace and shade as separate
+    pallas_calls, hit record in state rows 17-21) must be BIT-equal to
+    the fused form at depth 1 — the record rows round-trip the traverse
+    epilogue's exact f32 values (kernel_core.bounce_trace)."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(resolution_override=(64, 64), max_depth=1)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays, k=32)
+    fused, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.setattr(trace_wavefront, "_FISSION", True)
+    fiss, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    np.testing.assert_array_equal(np.asarray(fiss), np.asarray(fused))
+
+
+@pytest.mark.slow
+def test_wavefront_fission_bounces(scene1, monkeypatch):
+    """Fission at depth 3 with stochastic effects: identical ray counts
+    and ULP-scale drift only (the two program shapes fuse differently in
+    XLA:CPU interpret — same instability class as the oracle's
+    pixel-tile shape sensitivity, STATUS item 7; on-TPU equality is
+    gated by the bench RMSE)."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(64, 64), max_depth=3, aa_samples=2,
+        enable_soft_shadows=True,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays, k=32)
+    fused, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.setattr(trace_wavefront, "_FISSION", True)
+    fiss, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    d = np.abs(np.asarray(fiss) - np.asarray(fused))
+    assert d.max() <= 1e-6
+
+
 def test_cluster_cut_invariance(scene1, monkeypatch):
     """Images are clustering-invariant: the packed mult-4 default cut
     (COSIG_LEAF_MULT / COSIG_CLUSTER_PACK, ~25-40 % fewer clusters and
