@@ -45,8 +45,15 @@ MODES = {
                    "COSIG_MXU_CSEL": "0"},
     "mixed-b4-pb": {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0",
                     "COSIG_MXU_BATCH": "4", "COSIG_MXU_CSEL": "0"},
+    # Kernel fission: every kernel stays in the verified two-of-three
+    # block set — the designed dodge for the fused-kernel miscompile.
+    "fission-full": {"COSIG_WF_FISSION": "1", "COSIG_MXU": "1"},
+    "fission-full-b4": {"COSIG_WF_FISSION": "1", "COSIG_MXU": "1",
+                        "COSIG_MXU_BATCH": "4"},
+    "fission-base": {"COSIG_WF_FISSION": "1", "COSIG_MXU": "0"},
 }
-DEFAULT_MODES = ("base", "mixed", "mixed-b4", "full", "full-oh")
+DEFAULT_MODES = ("base", "mixed", "mixed-b4", "full", "fission-full",
+                 "fission-full-b4")
 
 
 def child(args):
