@@ -26,6 +26,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # script-path invocation puts tools/ first, not REPO
+    sys.path.insert(0, REPO)
 
 # label -> env knobs (on top of the inherited env)
 MODES = {
@@ -111,9 +113,11 @@ def parent(args):
         t0 = time.time()
         r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                            cwd=REPO, timeout=args.timeout)
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
         try:
             stats[m] = json.loads(line)
+            if not stats[m]:
+                raise json.JSONDecodeError("empty", line, 0)
         except json.JSONDecodeError:
             print(f"{m}: CHILD FAILED rc={r.returncode} "
                   f"stderr={r.stderr[-300:]}", flush=True)
