@@ -804,10 +804,19 @@ def make_traverse(
                     gmin = so[0:1]
                     # Factored winner u/v: sel(vb*inv_s) == sel(vb) *
                     # sel(inv_s) for a one-hot mask (same two floats
-                    # multiply). A tmin==INF "winner" yields garbage u/v
-                    # (VPU path yields 0) — downstream identical: normal
-                    # rows are only read where hit = t < INF.
-                    inv_w = jnp.sum(oh * inv_s, axis=0, keepdims=True)
+                    # multiply). inv_s MUST be zeroed on invalid rows
+                    # before the fold: s == 0 exactly (all-zero padded
+                    # slots, perpendicular triangles) — or a tiny s whose
+                    # TPU reciprocal overflows — gives inv_s = inf, and
+                    # oh * inf = NaN on the NON-winner rows poisons the
+                    # sum (the VPU path's where(valid) guard, mt() above;
+                    # this was the round-3 "NaN normals" hardware bug).
+                    # A tmin==INF "winner" (oh hot on an invalid row) then
+                    # yields u = v = 0 like the VPU path — downstream
+                    # identical either way: normal rows are only read
+                    # where hit = t < INF.
+                    inv_sv = jnp.where(valid, inv_s, F(0.0))
+                    inv_w = jnp.sum(oh * inv_sv, axis=0, keepdims=True)
                     u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
                     v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
                     w_c = F(1.0) - u_c - v_c
@@ -903,7 +912,10 @@ def make_traverse(
                         preferred_element_type=jnp.float32,
                     )
                     so = so3[0:16] + so3[16:32] + so3[32:48]
-                    inv_w = jnp.sum(oh * inv_s, axis=0, keepdims=True)
+                    # Same invalid-row inv_s guard as mxu_sel (0 * inf =
+                    # NaN poisons the one-hot fold).
+                    inv_sv = jnp.where(valid, inv_s, F(0.0))
+                    inv_w = jnp.sum(oh * inv_sv, axis=0, keepdims=True)
                     u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
                     v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
                     w_c = F(1.0) - u_c - v_c
