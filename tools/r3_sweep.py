@@ -120,6 +120,24 @@ STAGES = {
         ("large-MXUcb", "large_mesh",
          {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}),
     ],
+    # Full-MXU ABAB (post NaN-guard fix: every mxu_verify mode is OK).
+    # Full mode = closest-hit AND any-hit shadow pair tests on the MXU;
+    # the K128 rows add big-K clustering (quarters large_mesh's C_pad,
+    # affordable only on the MXU per tools/mxu_mt_bench.py).
+    "stageMF": [
+        ("glass-MXU0", "glass_sphere", {"COSIG_MXU": "0"}),
+        ("glass-MXUf", "glass_sphere", {"COSIG_MXU": "1"}),
+        ("glass-MXU0b", "glass_sphere", {"COSIG_MXU": "0"}),
+        ("glass-MXUfb", "glass_sphere", {"COSIG_MXU": "1"}),
+        ("large-MXU0", "large_mesh", {"COSIG_MXU": "0"}),
+        ("large-MXUf", "large_mesh", {"COSIG_MXU": "1"}),
+        ("large-MXU0b", "large_mesh", {"COSIG_MXU": "0"}),
+        ("large-MXUfb", "large_mesh", {"COSIG_MXU": "1"}),
+        ("large-MXUf-K128", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_K": "128"}),
+        ("large-MXUf-K64", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_K": "64"}),
+    ],
     # Packed cluster cut ABAB (COSIG_LEAF_MULT=4 + COSIG_CLUSTER_PACK=1
     # are the defaults; the "old" rows force the round-2 cut). Host
     # model: pair slots -19..-27 %, per-ray bounce visits -22..-43 %,
