@@ -61,8 +61,9 @@ STAGES = {
         ("mirror-R8192b", "mirror_sphere", {"COSIG_WF_R": "8192"}),
     ],
     # large_mesh: bounce-stage granularity + cluster size (ABAB to cancel
-    # tunnel drift).
-    "stageC": [
+    # tunnel drift).  (Renamed from stageC: the packed-cut stage below
+    # shadowed this dict key — already-run rows are in the jsonl.)
+    "stageC0": [
         ("large-base", "large_mesh", {}),
         (
             "large-RB1024",
@@ -198,6 +199,37 @@ STAGES = {
          {"COSIG_K": "64", "COSIG_K_PRIMARY": "32"}),
         ("glass-K128-KP32", "glass_sphere",
          {"COSIG_K": "128", "COSIG_K_PRIMARY": "32"}),
+    ],
+    # stageMF follow-up (12:00 window results: large MXUf 62.5 vs MXU0
+    # 55.4; MXUf+K64 72.4 — the winner; glass MXUf flat). Combos around
+    # the winner: batched visits on top of MXU+K64, VPU K64 attribution
+    # row, glass batch rows (glass's flat MXU result suggests per-visit
+    # overhead, which batching amortizes). ABAB anchors interleaved.
+    "stageW": [
+        ("large-MXU0-w", "large_mesh", {"COSIG_MXU": "0"}),
+        ("large-MXUf-K64-w", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_K": "64"}),
+        ("large-MXUf-K64-b4", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_K": "64", "COSIG_MXU_BATCH": "4"}),
+        ("large-MXUf-K64-b8", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_K": "64", "COSIG_MXU_BATCH": "8"}),
+        ("large-MXUf-b4", "large_mesh",
+         {"COSIG_MXU": "1", "COSIG_MXU_BATCH": "4"}),
+        ("large-K64-vpu", "large_mesh", {"COSIG_K": "64"}),
+        ("glass-MXUf-b4", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_BATCH": "4"}),
+        ("glass-MXUf-b8", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_BATCH": "8"}),
+    ],
+    # Packed-cut remainder (glass-packed already recorded 12:05).
+    "stageC2": [
+        ("glass-oldcut", "glass_sphere",
+         {"COSIG_LEAF_MULT": "1", "COSIG_CLUSTER_PACK": "0"}),
+        ("glass-packed2", "glass_sphere", {}),
+        ("large-packed", "large_mesh", {}),
+        ("large-oldcut", "large_mesh",
+         {"COSIG_LEAF_MULT": "1", "COSIG_CLUSTER_PACK": "0"}),
+        ("large-packed2", "large_mesh", {}),
     ],
     # Glass decomposition refresh at the current design point.
     "stagePG": [
