@@ -57,10 +57,12 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
 
         tris = extract_triangles(scene)
         mats = np.concatenate(materials_host(scene), axis=1)
-        # COSIG_K: cluster-size override for sweeps (tools/stage_profile.py)
+        # COSIG_K: cluster-size override for sweeps (tools/stage_profile.py);
+        # unset -> build_clusters' auto rule (cut must fit one cull block).
+        _ek = os.environ.get("COSIG_K")
         cset = build_clusters(
             arrays, tris=tris, mats_host=mats,
-            k=int(os.environ.get("COSIG_K", "32")),
+            k=int(_ek) if _ek else None,
         )
         # COSIG_K_PRIMARY: finer primary-stage cluster set (wavefront only).
         kp = os.environ.get("COSIG_K_PRIMARY")

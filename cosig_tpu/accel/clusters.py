@@ -60,6 +60,9 @@ GEOM_COMPS = 36
 GID_PAD = F32(2 ** 24)
 
 DEFAULT_K = 32
+# Auto cluster-size rule (build_clusters k=None): double k while the cut
+# has more clusters than this (TPU-measured crossover, see the docstring).
+AUTO_K_MAX_C = 256
 
 # MXU operand layout (geom_mx / ClusterSet docstring).
 #
@@ -230,10 +233,23 @@ def _pack_materials(arrays: SceneArrays, mats_host: np.ndarray | None) -> np.nda
 def build_clusters(
     arrays: SceneArrays,
     tris: TriangleSoA | None = None,
-    k: int = DEFAULT_K,
+    k: int | None = None,
     mats_host: np.ndarray | None = None,
 ) -> ClusterSet:
     """Build the cluster structure from the compiled scene.
+
+    ``k`` (cluster size): ``None`` (default) picks automatically — start
+    at ``DEFAULT_K`` and double while the cut exceeds ``AUTO_K_MAX_C``
+    clusters (cap ``k == 128``). Rationale (TPU sweep 2026-08-18,
+    tools/r3_sweep_results.jsonl): the bounce stages pay a per-ray
+    (R_sub, C_pad) slab cull per sub-packet, so wide cuts make the cull
+    grid itself the frame floor — large_mesh (11,970 tris, C 439 /
+    C_pad 512 at k=32) measured 247 -> 184 ms at k=64 (C_pad 256),
+    while k=64 on glass (C 82 / C_pad 128 at k=32) LOST 47.7 -> 69.8 ms
+    (double the pair tests per visit with no cull width to win back)
+    and k=128 on large_mesh lost vs k=64 (237 vs 189 ms — pair work
+    doubles faster than visits shrink). Hence: halve the cull width
+    while the cut is wider than 256 clusters, never below it.
 
     Pass host-side ``tris`` and ``mats_host`` whenever available —
     reconstructing them from device arrays costs device->host readbacks
@@ -250,6 +266,9 @@ def build_clusters(
         )
 
     t = tris.count
+    auto_k = k is None
+    if auto_k:
+        k = DEFAULT_K
     n_sub = k // SUBGROUP if (k % SUBGROUP == 0 and k > SUBGROUP) else 1
     if t == 0:
         geom = np.zeros((1, k, GEOM_COMPS), F32)
@@ -281,69 +300,79 @@ def build_clusters(
     # 2.28 -> 1.30 glass, 2.67 -> 1.79 large_mesh (bounce culls) with
     # C down ~25 % (narrower culls, fewer per-visit overheads).
     leaf_mult = int(os.environ.get("COSIG_LEAF_MULT", "4"))
-    bvh = build_bvh(tris, max_leaf=k * leaf_mult)
 
-    # Leaves of the BVH are the clusters; their triangle ranges are
-    # contiguous in the reordered soup.
-    leaf_idx = np.nonzero(bvh.count > 0)[0]
-    ranges = [
-        (int(bvh.left_or_first[i]), int(bvh.count[i]), i) for i in leaf_idx
-    ]
-    # Leaves above k (leaf_mult, or degenerate partitions) split into
-    # balanced <= k chunks over the leaf's DFS order.
-    chunks = []
-    for first, count, node in ranges:
-        n_ch = -(-count // k)
-        lo = count // n_ch
-        extra = count - lo * n_ch  # first `extra` chunks get lo+1
-        off = 0
-        for i in range(n_ch):
-            sz = lo + (1 if i < extra else 0)
-            chunks.append((first + off, sz, node))
-            off += sz
+    def _cut(k):
+        bvh = build_bvh(tris, max_leaf=k * leaf_mult)
 
-    # Leaf packing (COSIG_CLUSTER_PACK, default on): the median-split
-    # leaves average ~65 % fill at k=32, and padding rows cost full pair
-    # tests in every visit. DFS-ordered leaves partition the reordered
-    # soup contiguously, so greedily merging CONSECUTIVE leaves up to k
-    # (guarded: the merged AABB's surface area must not exceed PACK_SA x
-    # the parts' sum — sibling leaves merge, distant subtree boundaries
-    # don't) lifts fill toward 1 and shrinks C, cutting both pair slots
-    # per visit set and cull width. Exact by construction: the winner
-    # fold is clustering-invariant (gated by
-    # test_wavefront_mixed_granularity_exact and the packing tests).
-    if os.environ.get("COSIG_CLUSTER_PACK", "1") != "0" and len(chunks) > 1:
-        sa_cap = float(os.environ.get("COSIG_PACK_SA", "2.0"))
-        tri_min = np.minimum(np.minimum(tris.v0, tris.v1), tris.v2)
-        tri_max = np.maximum(np.maximum(tris.v0, tris.v1), tris.v2)
-        order = bvh.order
+        # Leaves of the BVH are the clusters; their triangle ranges are
+        # contiguous in the reordered soup.
+        leaf_idx = np.nonzero(bvh.count > 0)[0]
+        ranges = [
+            (int(bvh.left_or_first[i]), int(bvh.count[i]), i) for i in leaf_idx
+        ]
+        # Leaves above k (leaf_mult, or degenerate partitions) split into
+        # balanced <= k chunks over the leaf's DFS order.
+        chunks = []
+        for first, count, node in ranges:
+            n_ch = -(-count // k)
+            lo = count // n_ch
+            extra = count - lo * n_ch  # first `extra` chunks get lo+1
+            off = 0
+            for i in range(n_ch):
+                sz = lo + (1 if i < extra else 0)
+                chunks.append((first + off, sz, node))
+                off += sz
 
-        def _range_box(first, count):
-            sl = order[first:first + count]
-            return tri_min[sl].min(axis=0), tri_max[sl].max(axis=0)
+        # Leaf packing (COSIG_CLUSTER_PACK, default on): the median-split
+        # leaves average ~65 % fill at k=32, and padding rows cost full pair
+        # tests in every visit. DFS-ordered leaves partition the reordered
+        # soup contiguously, so greedily merging CONSECUTIVE leaves up to k
+        # (guarded: the merged AABB's surface area must not exceed PACK_SA x
+        # the parts' sum — sibling leaves merge, distant subtree boundaries
+        # don't) lifts fill toward 1 and shrinks C, cutting both pair slots
+        # per visit set and cull width. Exact by construction: the winner
+        # fold is clustering-invariant (gated by
+        # test_wavefront_mixed_granularity_exact and the packing tests).
+        if os.environ.get("COSIG_CLUSTER_PACK", "1") != "0" and len(chunks) > 1:
+            sa_cap = float(os.environ.get("COSIG_PACK_SA", "2.0"))
+            tri_min = np.minimum(np.minimum(tris.v0, tris.v1), tris.v2)
+            tri_max = np.maximum(np.maximum(tris.v0, tris.v1), tris.v2)
+            order = bvh.order
 
-        def _sa(lo, hi):
-            d = hi - lo
-            return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+            def _range_box(first, count):
+                sl = order[first:first + count]
+                return tri_min[sl].min(axis=0), tri_max[sl].max(axis=0)
 
-        chunks.sort(key=lambda ch: ch[0])
-        packed = []
-        cf, cc, cn = chunks[0]
-        clo, chi = _range_box(cf, cc)
-        for first, count, node in chunks[1:]:
-            if cc + count <= k:
-                lo, hi = _range_box(first, count)
-                mlo = np.minimum(clo, lo)
-                mhi = np.maximum(chi, hi)
-                if _sa(mlo, mhi) <= sa_cap * (_sa(clo, chi) + _sa(lo, hi)):
-                    cc += count
-                    clo, chi = mlo, mhi
-                    continue
-            packed.append((cf, cc, cn))
-            cf, cc, cn = first, count, node
+            def _sa(lo, hi):
+                d = hi - lo
+                return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+            chunks.sort(key=lambda ch: ch[0])
+            packed = []
+            cf, cc, cn = chunks[0]
             clo, chi = _range_box(cf, cc)
-        packed.append((cf, cc, cn))
-        chunks = packed
+            for first, count, node in chunks[1:]:
+                if cc + count <= k:
+                    lo, hi = _range_box(first, count)
+                    mlo = np.minimum(clo, lo)
+                    mhi = np.maximum(chi, hi)
+                    if _sa(mlo, mhi) <= sa_cap * (_sa(clo, chi) + _sa(lo, hi)):
+                        cc += count
+                        clo, chi = mlo, mhi
+                        continue
+                packed.append((cf, cc, cn))
+                cf, cc, cn = first, count, node
+                clo, chi = _range_box(cf, cc)
+            packed.append((cf, cc, cn))
+            chunks = packed
+        return bvh, chunks
+
+    bvh, chunks = _cut(k)
+    # Auto k: double while the cut is wider than AUTO_K_MAX_C (docstring).
+    while auto_k and len(chunks) > AUTO_K_MAX_C and k < 128:
+        k *= 2
+        bvh, chunks = _cut(k)
+    n_sub = k // SUBGROUP if (k % SUBGROUP == 0 and k > SUBGROUP) else 1
 
     c = len(chunks)
     # Lane-pad; large cluster counts pad to whole cull blocks so the

@@ -140,3 +140,35 @@ def test_clusters_empty_scene():
     cs = build_clusters(arrays)
     assert cs.num_triangles == 0
     assert np.isnan(np.asarray(cs.aabb_t)).all()
+
+
+def test_clusters_auto_k():
+    """k=None picks the cluster size automatically: DEFAULT_K for small
+    cuts, doubled while the cut exceeds AUTO_K_MAX_C clusters (the
+    TPU-measured cull-width crossover — see build_clusters docstring),
+    and the auto build is bit-identical to the explicit-k build."""
+    from cosig_tpu.accel.clusters import AUTO_K_MAX_C, DEFAULT_K
+    from cosig_tpu.models.soa import materials_host
+    from cosig_tpu.scene.generate import CONFIGS
+
+    # Small scene: stays at DEFAULT_K.
+    s, tris = _scene_tris()
+    arrays = compile_scene(s, tris)
+    cs = build_clusters(arrays, tris)
+    assert cs.k == DEFAULT_K
+
+    # large_mesh (11,970 tris): k=32 cuts ~439 clusters > AUTO_K_MAX_C,
+    # so auto doubles to 64 and the cut drops under the threshold.
+    scene, _ = CONFIGS["large_mesh"]()
+    arrays = compile_scene(scene)
+    tris = extract_triangles(scene)
+    mats = np.concatenate(materials_host(scene), axis=1)
+    auto = build_clusters(arrays, tris=tris, mats_host=mats)
+    assert auto.k == 64
+    assert auto.num_clusters <= AUTO_K_MAX_C
+    exp = build_clusters(arrays, tris=tris, mats_host=mats, k=64)
+    assert (np.asarray(auto.geom) == np.asarray(exp.geom)).all()
+    assert (
+        np.asarray(auto.aabb_t)[~np.isnan(np.asarray(auto.aabb_t))]
+        == np.asarray(exp.aabb_t)[~np.isnan(np.asarray(exp.aabb_t))]
+    ).all()

@@ -231,6 +231,24 @@ STAGES = {
          {"COSIG_LEAF_MULT": "1", "COSIG_CLUSTER_PACK": "0"}),
         ("large-packed2", "large_mesh", {}),
     ],
+    # Default-deciding sweep (14:30 window): K64 on the mid/small configs
+    # (large-K64 won 247->184; glass/walls/mirror unknown), large K64
+    # combos (P2sh on top of the winner), ABAB anchors interleaved.
+    "stageZ": [
+        ("glass-base-z", "glass_sphere", {}),
+        ("glass-K64-z", "glass_sphere", {"COSIG_K": "64"}),
+        ("glass-base-z2", "glass_sphere", {}),
+        ("glass-K128-z", "glass_sphere", {"COSIG_K": "128"}),
+        ("walls-base-z", "cosig_walls", {}),
+        ("walls-K64-z", "cosig_walls", {"COSIG_K": "64"}),
+        ("mirror-base-z", "mirror_sphere", {}),
+        ("mirror-K64-z", "mirror_sphere", {"COSIG_K": "64"}),
+        ("large-K64-z", "large_mesh", {"COSIG_K": "64"}),
+        ("large-K64-P2sh-z", "large_mesh",
+         {"COSIG_K": "64", "COSIG_PHASE2": "shadow"}),
+        ("large-K64-KP32-z", "large_mesh",
+         {"COSIG_K": "64", "COSIG_K_PRIMARY": "32"}),
+    ],
     # Glass decomposition refresh at the current design point.
     "stagePG": [
         ("glass-full", "glass_sphere", {}),
