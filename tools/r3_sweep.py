@@ -271,7 +271,7 @@ STAGES = {
             {"COSIG_WF_R": "8192", "COSIG_PHASE2": "shadow"},
         ),
         ("glass-base5", "glass_sphere", {}),
-        ("glass-K16", "glass_sphere", {"COSIG_K": "16"}),
+        ("glass-R16384", "glass_sphere", {"COSIG_WF_R": "16384"}),
     ],
 }
 
