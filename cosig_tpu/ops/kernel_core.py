@@ -333,58 +333,66 @@ def make_traverse(
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
 
-        if use_mxu:
-            # MXU operand staging (clusters.MX_COMBOS layout): raysmx row
-            # c*10 + i = bf16 limb k_c of ray input i, inputs = (o, d, w,
-            # const 1). The limb split x = x0 + x1 + x2 (exact residual
-            # subtractions) lets ONE bf16 MXU pass reproduce fp32-contract
-            # precision — see the layout note in accel/clusters.py. Same
-            # Mosaic staging rule as sub_rays: windows must be fresh
-            # aligned ref loads of VMEM rows, not traced-vector slices.
-            # Closest-hit and any-hit traversals stage DISJOINT row
-            # bands (any_hit: rows 64-127): one shared band means the
-            # shadow traversal's re-staging clobbers rows whose derived
-            # values (winner normals) the compiled kernel may still be
-            # consuming afterward.
-            mxb = 64 if any_hit else 0
-            bf16 = jnp.bfloat16
-            planes = {}
-            for i, plane in enumerate(
-                (ox, oy, oz, dx, dy, dz, wx, wy, wz)
-            ):
-                l0 = plane.astype(bf16)
-                r1 = plane - l0.astype(F)
-                l1 = r1.astype(bf16)
-                l2 = (r1 - l1.astype(F)).astype(bf16)
-                planes[i] = (l0, l1, l2)
-            one = jnp.ones((1, R), bf16)
-            zero = jnp.zeros((1, R), bf16)
-            planes[9] = (one, zero, zero)
-            rows = [
-                planes[i][kc]
-                for _, kc in cl.MX_COMBOS
-                for i in range(10)
-            ] + [zero] * 4
-            if os.environ.get("COSIG_MXU_STAGE") == "rows":
-                for r_i, row in enumerate(rows):
-                    raysmx[mxb + r_i : mxb + r_i + 1] = row
-            else:
-                # Single (64, R) store (default): fewer stores for Mosaic
-                # to schedule than 64 row writes, and the staged block is
-                # one value — also an A/B lever for the miscompile hunt.
-                raysmx[mxb : mxb + 64] = jnp.concatenate(rows, axis=0)
-            if any_hit and S > 1:
-                best_ref[15:16] = max_t  # sub-packet-sliceable bound
-        elif S > 1:
-            # Stage the per-ray planes in VMEM rows: the sub-packet MT
-            # reads 128-aligned lane windows of these rows as fresh ref
-            # loads. Slicing the live traced vectors instead produces
-            # lane-offset layouts Mosaic's broadcast rejects ("Invalid
-            # input layout" on vector<1xW> -> vector<KxW>).
-            for row, plane in enumerate((ox, oy, oz, dx, dy, dz, wx, wy, wz)):
-                best_ref[6 + row : 7 + row] = plane
-            if any_hit:
-                best_ref[15:16] = max_t  # sub-packet-sliceable bound
+        def stage_rays():
+            """Stage the per-ray planes for the visit loop. Called between
+            the flag DMA's start() and wait() so the VMEM->SMEM flag
+            transfer rides under these stores instead of serializing at
+            the top of every traversal (nothing before the wait reads the
+            staged rows — the cull works on the live traced planes)."""
+            if use_mxu:
+                # MXU operand staging (clusters.MX_COMBOS layout): raysmx
+                # row c*10 + i = bf16 limb k_c of ray input i, inputs =
+                # (o, d, w, const 1). The limb split x = x0 + x1 + x2
+                # (exact residual subtractions) lets ONE bf16 MXU pass
+                # reproduce fp32-contract precision — see the layout note
+                # in accel/clusters.py. Same Mosaic staging rule as
+                # sub_rays: windows must be fresh aligned ref loads of
+                # VMEM rows, not traced-vector slices. Closest-hit and
+                # any-hit traversals stage DISJOINT row bands (any_hit:
+                # rows 64-127): one shared band means the shadow
+                # traversal's re-staging clobbers rows whose derived
+                # values (winner normals) the compiled kernel may still
+                # be consuming afterward.
+                mxb = 64 if any_hit else 0
+                bf16 = jnp.bfloat16
+                planes = {}
+                for i, plane in enumerate(
+                    (ox, oy, oz, dx, dy, dz, wx, wy, wz)
+                ):
+                    l0 = plane.astype(bf16)
+                    r1 = plane - l0.astype(F)
+                    l1 = r1.astype(bf16)
+                    l2 = (r1 - l1.astype(F)).astype(bf16)
+                    planes[i] = (l0, l1, l2)
+                one = jnp.ones((1, R), bf16)
+                zero = jnp.zeros((1, R), bf16)
+                planes[9] = (one, zero, zero)
+                rows = [
+                    planes[i][kc]
+                    for _, kc in cl.MX_COMBOS
+                    for i in range(10)
+                ] + [zero] * 4
+                if os.environ.get("COSIG_MXU_STAGE") == "rows":
+                    for r_i, row in enumerate(rows):
+                        raysmx[mxb + r_i : mxb + r_i + 1] = row
+                else:
+                    # Single (64, R) store (default): fewer stores for
+                    # Mosaic to schedule than 64 row writes, and the
+                    # staged block is one value — also an A/B lever for
+                    # the miscompile hunt.
+                    raysmx[mxb : mxb + 64] = jnp.concatenate(rows, axis=0)
+                if any_hit and S > 1:
+                    best_ref[15:16] = max_t  # sub-packet-sliceable bound
+            elif S > 1:
+                # Stage the per-ray planes in VMEM rows: the sub-packet MT
+                # reads 128-aligned lane windows of these rows as fresh ref
+                # loads. Slicing the live traced vectors instead produces
+                # lane-offset layouts Mosaic's broadcast rejects ("Invalid
+                # input layout" on vector<1xW> -> vector<KxW>).
+                for row, plane in enumerate((ox, oy, oz, dx, dy, dz, wx, wy, wz)):
+                    best_ref[6 + row : 7 + row] = plane
+                if any_hit:
+                    best_ref[15:16] = max_t  # sub-packet-sliceable bound
 
         # ---- stage 1: vectorized cull ----
         oxc = ox.reshape(R, 1)
@@ -660,6 +668,8 @@ def make_traverse(
                     flag_vmem[:, :] = far
                 copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
                 copy.start()
+                if phase == 0:
+                    stage_rays()
                 copy.wait()
                 if batched_sp:
                     n_hits = jax.lax.fori_loop(
@@ -680,6 +690,7 @@ def make_traverse(
                 )
                 sb_copy = pltpu.make_async_copy(sbflag_vmem, sb_smem, sem)
                 sb_copy.start()
+                stage_rays()  # ride under the superblock-flag DMA
                 sb_copy.wait()
 
                 flag_vmem[:, :] = jnp.zeros((1, C_pad), jnp.int32)
