@@ -333,6 +333,11 @@ def make_traverse(
         wy = oz * dx - ox * dz
         wz = ox * dy - oy * dx
 
+        # Staging-band base row for MXU operands (disjoint closest/any-hit
+        # bands, see stage_rays); read by both stage_rays and the stage-3
+        # window loads below, so it lives at this scope.
+        mxb = 64 if any_hit else 0
+
         def stage_rays():
             """Stage the per-ray planes for the visit loop. Called between
             the flag DMA's start() and wait() so the VMEM->SMEM flag
@@ -353,7 +358,6 @@ def make_traverse(
                 # traversal's re-staging clobbers rows whose derived
                 # values (winner normals) the compiled kernel may still
                 # be consuming afterward.
-                mxb = 64 if any_hit else 0
                 bf16 = jnp.bfloat16
                 planes = {}
                 for i, plane in enumerate(
