@@ -60,10 +60,13 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
         # COSIG_K: cluster-size override for sweeps (tools/stage_profile.py);
         # unset -> build_clusters' auto rule (cut must fit one cull block).
         _ek = os.environ.get("COSIG_K")
+        try:
+            k_override = int(_ek) if _ek else None
+        except ValueError:
+            raise SystemExit(f"COSIG_K must be a positive int, got {_ek!r}")
         cset = build_clusters(
-            arrays, tris=tris, mats_host=mats,
-            k=int(_ek) if _ek else None,
-        )
+            arrays, tris=tris, mats_host=mats, k=k_override,
+        )  # build_clusters rejects k <= 0 with a clear message
         # COSIG_K_PRIMARY: finer primary-stage cluster set (wavefront only).
         kp = os.environ.get("COSIG_K_PRIMARY")
         cset_p = (
@@ -124,12 +127,18 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
 
         chain = jax.jit(chain, static_argnames=("k",))
 
-    # Pick chain lengths so the slope (t_k2 - t_k1) comfortably exceeds
-    # dispatch noise: small configs need long chains (a 1 ms frame against
-    # ~10 ms of jitter needs dozens of frames).
-    pixels = cfg.width * cfg.height * max(1, cfg.aa_samples)
+    # Pick chain lengths so the slope span (t_k2 - t_k1) covers >= ~150 ms
+    # of frame work — comfortably above dispatch jitter (~10 ms on the
+    # tunnel). Sizing is by TARGET TIME, not pixels: frame time is roughly
+    # 5-12 ns/ray across configs, so k2 ~ 0.15 s / (10 ns * rays). The old
+    # pixel-heuristic cap (24) left diffuse_sphere's 0.35 ms frame with a
+    # ~8 ms span under ~10 ms jitter — not measurement-grade (round-3
+    # VERDICT weak #8).
+    rays_est = cfg.width * cfg.height * max(1, cfg.aa_samples) * (
+        1 + min(2, cfg.max_depth)
+    )
     k1 = 2
-    k2 = max(repeats, min(24, int(2.5e8 / max(pixels, 1)) + 1))
+    k2 = max(repeats, min(512, int(6e7 / max(rays_est, 1)) + 3))
 
     # Warm/compile BOTH chain lengths before timing (each k is a separate
     # executable; Mosaic compiles run 0.6-200 s and must not be timed).

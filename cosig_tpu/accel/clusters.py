@@ -27,6 +27,7 @@ layout, no relayouts):
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 
@@ -37,6 +38,8 @@ import numpy as np
 from cosig_tpu.accel.bvh import build_bvh
 from cosig_tpu.models.soa import SceneArrays
 from cosig_tpu.scene.tessellate import TriangleSoA
+
+log = logging.getLogger("cosig_tpu.clusters")
 
 F32 = np.float32
 
@@ -254,6 +257,11 @@ def build_clusters(
     Pass host-side ``tris`` and ``mats_host`` whenever available —
     reconstructing them from device arrays costs device->host readbacks
     (which also poison dispatch latency on tunneled TPU setups)."""
+    if k is not None and (not isinstance(k, int) or k <= 0):
+        raise ValueError(
+            f"cluster size k must be a positive int or None (auto); got {k!r}"
+            " (check the COSIG_K override)"
+        )
     if tris is None:
         tris = TriangleSoA(
             v0=np.asarray(arrays.tri_v0, F32),
@@ -373,6 +381,15 @@ def build_clusters(
         k *= 2
         bvh, chunks = _cut(k)
     n_sub = k // SUBGROUP if (k % SUBGROUP == 0 and k > SUBGROUP) else 1
+    # The chosen size is perf-critical and depends on ambient COSIG_*
+    # knobs (leaf mult, packing); log it so sweep-polluted shells are
+    # visible in any run's output.
+    log.info(
+        "clusters: k=%d%s cut=%d (tris=%d, leaf_mult=%s, pack=%s)",
+        k, " (auto)" if auto_k else "", len(chunks), t,
+        os.environ.get("COSIG_LEAF_MULT", "4"),
+        os.environ.get("COSIG_CLUSTER_PACK", "1"),
+    )
 
     c = len(chunks)
     # Lane-pad; large cluster counts pad to whole cull blocks so the

@@ -192,7 +192,17 @@ def cmd_turntable(args) -> int:
 def cmd_preview(args) -> int:
     """Realtime preview loop: repeated renders with an orbiting camera and
     an FPS readout — the reference's Update() loop + FPS label
-    (SceneBuilder.cs:501,520-538), headless."""
+    (SceneBuilder.cs:501,520-538), headless.
+
+    Matches the reference's realtime contract (RayTracer.cs:76-82 binds
+    the RenderTexture directly — the realtime loop NEVER reads the frame
+    back to host): every frame goes through ``render_to_device``, and the
+    loop issues zero device->host copies. One scalar readback after the
+    loop forces completion of the whole enqueue chain (the device executes
+    in launch order), so the FPS figure covers real render work without
+    per-frame sync stalls — which on tunneled TPUs would also permanently
+    degrade dispatch latency (CLAUDE.md measurement hazard #1).
+    ``--save-dir`` reads frames back AFTER the loop (the static path)."""
     from cosig_tpu.render.renderer import Renderer
     from cosig_tpu.utils.png import write_png
 
@@ -201,19 +211,22 @@ def cmd_preview(args) -> int:
     renderer = Renderer(backend=args.backend)
     rot = settings.camera_rotation_override or (0.0, 0.0, 0.0)
 
+    frames_dev = []
     t_start = time.perf_counter()
     for i in range(args.frames):
         s = settings.replace(
             camera_rotation_override=(rot[0], rot[1], rot[2] + i * args.orbit)
         )
-        t0 = time.perf_counter()
-        img = renderer.render(scene, s)  # includes readback, like a display
-        dt = time.perf_counter() - t0
-        print(f"\rframe {i+1}/{args.frames}  {1.0/dt:6.2f} FPS ", end="", flush=True)
-        if args.save_dir:
-            write_png(f"{args.save_dir}/frame_{i:04d}.png", img)
+        frames_dev.append(renderer.render_to_device(scene, s))
+        print(f"\rframe {i+1}/{args.frames} enqueued", end="", flush=True)
+    # The single readback: one scalar forces the whole chain.
+    _ = float(frames_dev[-1][0, 0, 0])
     total = time.perf_counter() - t_start
     print(f"\n{args.frames} frames in {total:.2f}s ({args.frames/total:.2f} FPS avg)")
+    if args.save_dir:
+        for i, img in enumerate(frames_dev):
+            write_png(f"{args.save_dir}/frame_{i:04d}.png", np.asarray(img))
+        print(f"saved {len(frames_dev)} frames -> {args.save_dir}")
     return 0
 
 

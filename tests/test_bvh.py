@@ -142,7 +142,7 @@ def test_clusters_empty_scene():
     assert np.isnan(np.asarray(cs.aabb_t)).all()
 
 
-def test_clusters_auto_k():
+def test_clusters_auto_k(monkeypatch):
     """k=None picks the cluster size automatically: DEFAULT_K for small
     cuts, doubled while the cut exceeds AUTO_K_MAX_C clusters (the
     TPU-measured cull-width crossover — see build_clusters docstring),
@@ -150,6 +150,13 @@ def test_clusters_auto_k():
     from cosig_tpu.accel.clusters import AUTO_K_MAX_C, DEFAULT_K
     from cosig_tpu.models.soa import materials_host
     from cosig_tpu.scene.generate import CONFIGS
+
+    # The auto-k decision depends on cut width, which the cluster-build
+    # env knobs change; pin them so a sweep-polluted shell can't flip the
+    # hardcoded expectations below.
+    monkeypatch.setenv("COSIG_LEAF_MULT", "4")
+    monkeypatch.setenv("COSIG_CLUSTER_PACK", "1")
+    monkeypatch.setenv("COSIG_PACK_SA", "2.0")
 
     # Small scene: stays at DEFAULT_K.
     s, tris = _scene_tris()
@@ -172,3 +179,16 @@ def test_clusters_auto_k():
         np.asarray(auto.aabb_t)[~np.isnan(np.asarray(auto.aabb_t))]
         == np.asarray(exp.aabb_t)[~np.isnan(np.asarray(exp.aabb_t))]
     ).all()
+
+
+def test_clusters_rejects_bad_k():
+    """k <= 0 (e.g. a COSIG_K=0 sweep typo) must fail with a clear
+    message, not an opaque ZeroDivisionError deep in the chunking loop."""
+    import pytest
+
+    s, tris = _scene_tris()
+    arrays = compile_scene(s, tris)
+    with pytest.raises(ValueError, match="cluster size k"):
+        build_clusters(arrays, tris, k=0)
+    with pytest.raises(ValueError, match="cluster size k"):
+        build_clusters(arrays, tris, k=-8)

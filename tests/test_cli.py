@@ -90,3 +90,44 @@ def test_render_chunked_resume(tmp_path, scene_path):
     assert img.shape == (30, 24, 3)
     import os
     assert not os.path.exists(ck)  # removed on completion
+
+
+def test_preview_zero_readback(tmp_path, capsys, monkeypatch):
+    """The preview loop must honor the reference's realtime contract
+    (RayTracer.cs:76-82): zero device->host readbacks between frames.
+    ``Renderer.render`` IS the readback path (np.asarray of the device
+    frame), so stub it to fail loudly and count ``render_to_device``."""
+    from cosig_tpu.render import renderer as renderer_mod
+
+    calls = {"to_device": 0}
+    orig = renderer_mod.Renderer.render_to_device
+
+    def counting(self, scene, settings):
+        calls["to_device"] += 1
+        return orig(self, scene, settings)
+
+    def forbidden(self, scene, settings):
+        raise AssertionError("preview loop performed a per-frame readback")
+
+    monkeypatch.setattr(renderer_mod.Renderer, "render_to_device", counting)
+    monkeypatch.setattr(renderer_mod.Renderer, "render", forbidden)
+
+    rc = main([
+        "preview", "generated:diffuse_sphere", "--backend", "xla",
+        "--width", "16", "--height", "16", "--frames", "3", "--orbit", "15",
+    ])
+    assert rc == 0
+    assert calls["to_device"] == 3
+    assert "FPS avg" in capsys.readouterr().out
+
+
+def test_preview_save_dir_after_loop(tmp_path):
+    """--save-dir reads frames back only AFTER the timed loop."""
+    rc = main([
+        "preview", "generated:diffuse_sphere", "--backend", "xla",
+        "--width", "16", "--height", "16", "--frames", "2",
+        "--save-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    assert read_png(str(tmp_path / "frame_0000.png")).shape == (16, 16, 3)
+    assert read_png(str(tmp_path / "frame_0001.png")).shape == (16, 16, 3)
