@@ -40,15 +40,25 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Measurement-only stage stubs (tools/stage_profile.py): "mt" skips the
-# pair tests inside the visit loop (keeps cull/DMA/compaction/loop),
-# "visit" skips the visit loop entirely, "trav" skips the whole traversal
-# (immediate miss), "shadow" skips only shadow traversals (everything
-# lit; primary aliveness preserved), "shade" skips the local-shading
-# block (ambient/diffuse/specular + shadow rays; aliveness and secondary
-# rays preserved). Images are WRONG under a stub — never set outside
-# profiling runs.
-_STUB = os.environ.get("COSIG_STUB")
+# Measurement-only stage stubs (tools/stage_profile.py), comma-separable
+# (e.g. COSIG_STUB=trav,shade): "mt" skips the pair tests inside the
+# visit loop (keeps cull/DMA/compaction/loop), "mt_anyhit" only in
+# any-hit (shadow) traversals, "visit" skips the visit loop entirely,
+# "visit_anyhit" only in any-hit traversals, "trav" skips the whole
+# traversal (immediate miss), "shadow" skips only shadow traversals
+# (everything lit; primary aliveness preserved), "shade" skips the
+# local-shading block (ambient/diffuse/specular + shadow rays; aliveness
+# and secondary rays preserved). Images are WRONG under a stub — never
+# set outside profiling runs.
+_STUB = frozenset(filter(None, os.environ.get("COSIG_STUB", "").split(",")))
+
+
+def _stub_mt(any_hit: bool) -> bool:
+    return "mt" in _STUB or (any_hit and "mt_anyhit" in _STUB)
+
+
+def _stub_visit(any_hit: bool) -> bool:
+    return "visit" in _STUB or (any_hit and "visit_anyhit" in _STUB)
 
 # Two-phase progressive cull experiment (frustum mode, single cull block):
 # visit near clusters first (entry <= tau), then re-cull the far set
@@ -106,6 +116,13 @@ COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 INF = F(3.402823466e38)
 EPSILON = F(1e-4)
 OFFSET = F(1e-2)
+
+# Shared ray-state row layout (bounce_core/bounce_trace contract): rows
+# 0-2 origin, 3-5 direction, 6-8 attenuation, 9-11 accumulated color,
+# 12 alive, 13 rays-traced count. Rows >= 14 belong to the caller
+# (trace_wavefront: 14 = ray id; fission hit record above that).
+ROW_ALIVE = 12
+ROW_COUNT = 13
 
 # Tie-break ids for analytic primitives: above every triangle gid (< 2^24),
 # so primitives lose equal-t ties to triangles — the oracle's strict-< fold
@@ -306,7 +323,7 @@ def make_traverse(
         tie-break. Provably equal to the closest-hit form: closest-t >
         max_t iff no hit has t <= max_t. Returns occlusion in the ``hit``
         slot (t/normal/material are placeholders)."""
-        if _STUB == "trav" or (_STUB == "shadow" and any_hit):
+        if "trav" in _STUB or ("shadow" in _STUB and any_hit):
             ones = jnp.ones((1, R), F)
             return (
                 jnp.zeros((1, R), bool), ones * INF,
@@ -582,7 +599,7 @@ def make_traverse(
         # flagged clusters — no union inflation (pair work identical to
         # the per-visit form) and no per-(block, sp) branches in the visit
         # loop (every gathered block is known flagged).
-        batched = use_mxu and _MXU_BATCH > 1 and _STUB != "mt"
+        batched = use_mxu and _MXU_BATCH > 1 and not _stub_mt(any_hit)
         batched_sp = batched and S > 1
 
         def compact_entry_sp(c, ns):
@@ -977,13 +994,13 @@ def make_traverse(
                 # Under the "mt" measurement stub the visit body returns before
                 # any wait; starting the warm-up DMA then would leave it
                 # forever outstanding (Mosaic rejects un-awaited DMAs).
-                if _STUB != "mt":
+                if not _stub_mt(any_hit):
                     @pl.when(n_hit > 0)
                     def _():
                         _gdma(0, 0).start()
 
             def visit(i, _):
-                if _STUB == "mt":
+                if _stub_mt(any_hit):
                     return 0
                 entry = list_smem[0, i]
                 if use_mxu:
@@ -1149,7 +1166,7 @@ def make_traverse(
                             mt(sp * RS, RS, sub_rays[sp])
                 return 0
 
-            if _STUB != "visit":
+            if not _stub_visit(any_hit):
                 if batched_sp:
                     # Batched visits, per-sub-packet lists (_MXU_BATCH /
                     # compact_entry_sp notes): for each sub-packet, chunk
@@ -1350,8 +1367,10 @@ def bounce_trace(traverse, state):
     recomputed as ``t < INF``, exactly the traverse epilogue's value)."""
     ox, oy, oz = state[0:1], state[1:2], state[2:3]
     dx, dy, dz = state[3:4], state[4:5], state[5:6]
-    alive = state[12:13] > F(0.0)
-    state[16:17] = state[16:17] + alive.astype(F)
+    alive = state[ROW_ALIVE : ROW_ALIVE + 1] > F(0.0)
+    state[ROW_COUNT : ROW_COUNT + 1] = (
+        state[ROW_COUNT : ROW_COUNT + 1] + alive.astype(F)
+    )
     return traverse(ox, oy, oz, dx, dy, dz, alive)
 
 
@@ -1360,11 +1379,12 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
     """One Whitted bounce on the ray-state rows (compute:356-473).
 
     ``state`` rows (f32 x R lanes): 0-2 origin, 3-5 direction,
-    6-8 attenuation, 9-11 accumulated color, 12 alive, 16 rays-traced
-    count (rows 13-15/17+ belong to the caller). ``px``/``py``/``s_plane``
-    are RNG seed planes; ``depth_f`` the bounce index (static f32 in the
-    megakernel, traced SMEM scalar in the wavefront stages) — both produce
-    the same seed values, so backends stay bitwise-equal.
+    6-8 attenuation, 9-11 accumulated color, 12 alive, 13 rays-traced
+    count (rows >= 14 belong to the caller — see the ROW_* constants).
+    ``px``/``py``/``s_plane`` are RNG seed planes (only read when soft
+    shadows / glossy are enabled); ``depth_f`` the bounce index (static
+    f32 in the megakernel, traced SMEM scalar in the wavefront stages) —
+    both produce the same seed values, so backends stay bitwise-equal.
 
     ``is_last`` may be a static bool (megakernel: the final bounce skips
     the secondary-ray block entirely) or a traced f32 scalar (wavefront:
@@ -1418,7 +1438,7 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
     loc_g = cg * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
     loc_b = cb * ka if cfg.enable_ambient else jnp.zeros((1, R), F)
 
-    for li in range(L if _STUB != "shade" else 0):
+    for li in range(0 if "shade" in _STUB else L):
         lx, ly, lz = lights[li, 0], lights[li, 1], lights[li, 2]
         lpx = jnp.full((1, R), 1.0, F) * lx
         lpy = jnp.full((1, R), 1.0, F) * ly
@@ -1442,7 +1462,9 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
 
         if cfg.enable_diffuse:
             shadow_active = alive & (ndl > F(0.0))
-            state[16:17] = state[16:17] + shadow_active.astype(F)
+            state[ROW_COUNT : ROW_COUNT + 1] = (
+                state[ROW_COUNT : ROW_COUNT + 1] + shadow_active.astype(F)
+            )
             # Any-hit shadow query: occluded iff some hit at t <= dist_l —
             # identical to the closest-hit form's (~hit) | (t > dist)
             # (closest t > dist iff no hit has t <= dist), but the visit

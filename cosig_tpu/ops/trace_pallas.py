@@ -63,6 +63,7 @@ from cosig_tpu.ops.kernel_core import (  # noqa: F401  (re-exported legacy names
     _pow32,
     _rsqrt_planes,
     _ruv_planes,
+    ROW_COUNT,
     bounce_core,
     build_lights,
     build_uniforms,
@@ -81,7 +82,7 @@ TILE_H = 32
 
 from cosig_tpu.ops.kernel_core import STREAM_THRESHOLD_BYTES  # noqa: F401
 
-STATE_ROWS = 24  # shared ray-state layout (kernel_core.bounce_core)
+STATE_ROWS = 16  # shared ray-state layout (kernel_core ROW_* contract)
 
 
 def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
@@ -173,7 +174,7 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
         acc_r = jnp.zeros((1, R), F)
         acc_g = jnp.zeros((1, R), F)
         acc_b = jnp.zeros((1, R), F)
-        state[16:17] = jnp.zeros((1, R), F)  # rays-traced count
+        state[ROW_COUNT : ROW_COUNT + 1] = jnp.zeros((1, R), F)  # rays-traced count
 
         for s in range(aa):
             # ---- AA offsets (compute:300-310) ----
@@ -251,7 +252,7 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
         out_ref[0:1] = acc_r * inv_aa
         out_ref[1:2] = acc_g * inv_aa
         out_ref[2:3] = acc_b * inv_aa
-        out_ref[3:4] = state[16:17]
+        out_ref[3:4] = state[ROW_COUNT : ROW_COUNT + 1]
 
     return kernel
 

@@ -15,10 +15,16 @@ tile are dead. This module restructures the pipeline the wavefront way
    cost proportional to the number of *live* rays, not pixels;
 4. final scatter: per-ray colors accumulate back to pixels by ray id.
 
-Ray state layout (f32 rows x N rays):
+Ray state layout (f32 rows x N rays; kernel_core ROW_* contract):
 0-2 origin, 3-5 direction, 6-8 attenuation, 9-11 color, 12 alive,
-13 px, 14 py, 15 sample index, 16 rays-traced count,
-17-23 pad (8-row tiling).
+13 rays-traced count, 14 ray id, 15 pad (8-row tiling; fission mode
+appends the 5-row hit record at 15-19, padding to 24). The ray id
+(f32-exact: n_pad is asserted < 2^24) replaces the old px/py/sample
+rows — bounce stages that need RNG seed planes (soft shadows / glossy)
+re-derive them from the id with integer ops instead of hauling three
+f32 rows through every compaction and state round-trip: the state is
+the wavefront's HBM floor, and 24 -> 16 rows cuts that floor by a
+third (round-3 VERDICT "non-traversal floor").
 
 Shading physics is the same quirk-preserving plane arithmetic as the
 megakernel (see trace_pallas.py / ops/shade.py); RNG seeds take px/py/
@@ -99,28 +105,40 @@ def _subpackets_for(r: int) -> int:
     return min(8, r // SUB_LANES)
 
 
+# Kernel fission (COSIG_WF_FISSION=1): split every stage into a TRACE
+# kernel (closest-hit only) and a SHADE kernel (any-hit shadows +
+# shading + secondary-ray gen), the hit record riding state rows 15-19
+# between the two pallas_calls of one depth step (t, nx, ny, nz, mat;
+# hit is recomputed as t < INF — the traverse epilogue's exact value,
+# see kernel_core.bounce_trace). Bit-identical to the fused form; costs
+# one extra state round-trip per stage. Why it exists: the (since
+# root-caused, see STATUS "MXU traversal — FIXED") round-3 TPU bug
+# appeared to need closest-hit + any-hit + secondary blocks to COEXIST
+# in one compiled kernel — fission keeps every kernel inside the
+# verified two-of-three set. Kept as the structural dodge for future
+# fused-kernel hazards and as an A/B lever.
+_FISSION = _os.environ.get("COSIG_WF_FISSION") == "1"
+
 # Default tile size; override per call via render_wavefront(tile_rays=...)
 # or process-wide via COSIG_WF_R (sweeps).
 R = _validate_tile_rays(int(_os.environ.get("COSIG_WF_R", "4096")))
 SUBPACKETS = _subpackets_for(R)
-ROWS = 24  # state rows (see module docstring)
-LIVE_ROWS = 17  # rows 0-16 carry data; 17-23 never cross a compaction
-
-# Kernel fission (COSIG_WF_FISSION=1): split every stage into a TRACE
-# kernel (closest-hit only) and a SHADE kernel (any-hit shadows +
-# shading + secondary-ray gen), the hit record riding state rows 17-21
-# between the two pallas_calls of one depth step (t, nx, ny, nz, mat;
-# hit is recomputed as t < INF — the traverse epilogue's exact value,
-# see kernel_core.bounce_trace). Bit-identical to the fused form; costs
-# one extra state round-trip per stage. Why it exists: the open TPU
-# miscompile needs closest-hit + any-hit + secondary blocks to COEXIST
-# in one compiled kernel (STATUS "MXU traversal") — fission keeps every
-# kernel inside the verified two-of-three set, unlocking full-MXU
-# traversal (shadow MT on the MXU) even if the fused-kernel bug stands.
-_FISSION = _os.environ.get("COSIG_WF_FISSION") == "1"
+# State rows (module docstring): 16 covers the 15 live rows; fission
+# appends the 5-row hit record (20 rows, padded to 24 for 8-row tiling).
+ROWS = 24 if _FISSION else 16
+LIVE_ROWS = 15  # rows 0-14 cross a compaction; 15+ never do
 
 # Hit-record rows (fission): t, nx, ny, nz, mat.
-_REC0 = 17
+_REC0 = 15
+
+# Measurement-only knobs (images WRONG; floor attribution, see
+# tools/stage_profile.py floor): NOCOMPACT keeps the compaction's key sort /
+# alive-extent logic (so the bounce dispatch ladder behaves identically)
+# but skips the state gather — the full-vs-this delta is the pure gather
+# cost; NOUNT replaces the final pixel-order untranspose with a cheap
+# contiguous reshape — the delta is the untranspose cost.
+_NOCOMPACT = _os.environ.get("COSIG_WF_NOCOMPACT") == "1"
+_NOUNT = _os.environ.get("COSIG_WF_NOUNT") == "1"
 
 
 def _rec_store(state, rec):
@@ -141,6 +159,29 @@ def _rec_load(state):
         state[_REC0 + 3 : _REC0 + 4],
         state[_REC0 + 4 : _REC0 + 5],
     )
+
+
+def _decode_rid(rid_plane, uniforms, decode):
+    """Reconstruct the (px, py, sample) RNG seed planes from the absolute
+    ray id row — the exact inverse of the primary kernel's lane -> pixel
+    enumeration, all in exact small-integer arithmetic, so the planes are
+    BITWISE equal to the ones the primary computed (px/py are integer
+    values cast to f32; py adds the same U_ROW_OFF uniform)."""
+    aa, nbx, bh, bw, sqh, sqw, Rp = decode
+    rid = rid_plane.astype(jnp.int32)
+    tile_i = rid // Rp
+    lane_i = rid % Rp
+    s_i = lane_i % aa
+    p_i = lane_i // aa
+    qh, qw = bh // sqh, bw // sqw
+    ppq = qh * qw
+    quad = p_i // ppq
+    q = p_i % ppq
+    pxi = (tile_i % nbx) * bw + (quad % sqw) * qw + q % qw
+    pyi = (tile_i // nbx) * bh + (quad // sqw) * qh + q // qw
+    px = pxi.astype(F)
+    py = pyi.astype(F) + uniforms[U_ROW_OFF]
+    return px, py, s_i.astype(F)
 
 
 def _quad_grid(S: int):
@@ -171,7 +212,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                          prim_counts=(0, 0), subpackets=1, R=R,
                          fission=False):
     """``fission=True`` stops after the closest-hit trace and stores the
-    hit record in rows 17-21; the shared shade kernel finishes the
+    hit record in rows 15-19; the shared shade kernel finishes the
     bounce (see the _FISSION note)."""
     C, C_pad, K, M, L, n_subg, mxu = dims
     width, height = cfg.width, cfg.height
@@ -265,10 +306,13 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
         state[6:9] = jnp.ones((3, R), F)
         state[9:12] = jnp.zeros((3, R), F)
         state[12:13] = in_image.astype(F)
-        state[13:14] = px
-        state[14:15] = py
-        state[15:16] = s_plane
-        state[16:24] = jnp.zeros((8, R), F)
+        # Row 13: rays-traced count; row 14: absolute ray id (f32-exact,
+        # render_wavefront asserts n_pad < 2^24) — bounce stages re-derive
+        # px/py/sample from it when the RNG needs them (see _decode_rid).
+        state[13:14] = jnp.zeros((1, R), F)
+        state[14:15] = (tile * R + lane).astype(F)
+        n_rows = 24 if fission else 16  # matches the caller's block rows
+        state[15:n_rows] = jnp.zeros((n_rows - 15, R), F)
 
         traverse = make_traverse(
             aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
@@ -301,7 +345,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
 
 def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                         prim_counts=(0, 0), subpackets=1, R=R,
-                        mode="fused"):
+                        mode="fused", decode=None):
     """ONE bounce executable for every depth: the bounce index and the
     final-bounce flag are SMEM uniforms (U_DEPTH / U_LAST), not trace-time
     constants — cutting the wavefront compile ladder from
@@ -309,9 +353,13 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
 
     ``mode`` (see the _FISSION note): "fused" = trace + shade in one
     kernel (default); "trace" = closest-hit only, hit record stored in
-    rows 17-21; "shade" = read the record, shadow-trace + shade +
+    rows 15-19; "shade" = read the record, shadow-trace + shade +
     secondary rays. The shade executable also serves the primary stage
-    (the record format is stage-agnostic)."""
+    (the record format is stage-agnostic).
+
+    ``decode``: the primary-stage enumeration constants for _decode_rid,
+    required (and read) only when the RNG needs per-ray seed planes
+    (soft shadows / glossy)."""
     C, C_pad, K, M, L, n_subg, mxu = dims
     n_sph, n_box = prim_counts
     # Experiment knob: frustum-cull bounce stages too. Compacted bounce
@@ -323,15 +371,24 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
     def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
                geom, geom_mx, gatt, state_in, state_out, best_ref, flag_vmem,
                flags_smem, list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem,
-               raysmx, state):
+               raysmx):
+        # The output block is the working ref (readable after write in
+        # Pallas VMEM); one copy-in replaces the old in -> scratch -> out
+        # double copy.
+        state = state_out
         state[:, :] = state_in[:, :]
         any_alive = jnp.sum(state[12:13]) > F(0.0)
 
         @pl.when(any_alive)
         def _():
-            px = state[13:14]
-            py = state[14:15]
-            s_plane = state[15:16]
+            if cfg.enable_soft_shadows or cfg.enable_glossy:
+                # The RNG needs per-ray seed planes: re-derive them from
+                # the ray-id row (bitwise-equal to the primary's values).
+                px, py, s_plane = _decode_rid(state[14:15], uniforms, decode)
+            else:
+                # Unused by bounce_core when both DRT effects are off —
+                # dead operands, eliminated at compile.
+                px = py = s_plane = jnp.zeros((1, R), F)
             traverse = make_traverse(
                 aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
                 list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
@@ -353,15 +410,20 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                     rec=_rec_load(state) if mode == "shade" else None,
                 )
 
-        state_out[:, :] = state[:, :]
 
     return kernel
 
 
-GROUP = 128  # compaction granularity (rays); lane-aligned contiguous blocks
+# Compaction granularity (rays): lane-aligned contiguous blocks. Bigger
+# groups mean a cheaper sort/gather (fewer, larger blocks) but coarser
+# liveness (a group stays "alive" while ANY ray in it is) — COSIG_WF_GROUP
+# is the measurement knob; bit-exact at any value (the inverse gather
+# restores pixel order exactly).
+GROUP = int(_os.environ.get("COSIG_WF_GROUP", "128"))
+assert GROUP % 128 == 0 and SUB_LANES % GROUP == 0, GROUP
 
 
-def _compact_prefix(state, group_perm, n_pad: int, eg: int):
+def _compact_prefix(state, group_perm, n_pad: int, eg: int, n_rows: int = ROWS):
     """Group-granular ray compaction over the first ``eg`` groups.
 
     Per-ray gathers (and scatters) on TPU run at ~3 GB/s (element-indexed);
@@ -381,11 +443,11 @@ def _compact_prefix(state, group_perm, n_pad: int, eg: int):
 
     Returns ``(state, group_perm, n_alive_groups)``."""
     g = n_pad // GROUP
-    # Only the LIVE_ROWS state rows cross a compaction (rows 17-23 are
-    # pad, or a fission hit record consumed within the SAME depth step —
+    # Only the LIVE_ROWS state rows cross a compaction (row 15+ is pad,
+    # or a fission hit record consumed within the SAME depth step —
     # always overwritten before the next read): permuting just the live
     # rows cuts the gather traffic.
-    s3 = state.reshape(ROWS, g, GROUP)
+    s3 = state.reshape(n_rows, g, GROUP)
     p3 = jax.lax.slice(s3, (0, 0, 0), (LIVE_ROWS, eg, GROUP))
     galive = (p3[12] > F(0.5)).any(axis=1)
     octant = (
@@ -396,6 +458,8 @@ def _compact_prefix(state, group_perm, n_pad: int, eg: int):
     keys = jnp.where(galive, octant, 8)
     order = jnp.argsort(keys, stable=True)
     n_alive_g = jnp.sum(galive.astype(jnp.int32))
+    if _NOCOMPACT:  # measurement stub: skip the gather, keep the extent
+        return state, group_perm, n_alive_g
     packed = p3[:, order, :].reshape(LIVE_ROWS, eg * GROUP)
     state = jax.lax.dynamic_update_slice(state, packed, (0, 0))
     gp_prefix = jax.lax.slice(group_perm, (0,), (eg,))[order]
@@ -560,6 +624,13 @@ def render_wavefront(
     nby = -(-band // bh)
     n_tiles = nbx * nby
     n_pad = n_tiles * R
+    # Ray ids ride state row 14 as exact f32 integers (module docstring).
+    assert n_pad < 2 ** 24, (
+        f"{n_pad} rays exceed f32-exact ray ids; shard the frame "
+        "(parallel/sharding row bands) or render chunked"
+    )
+    sqh_p, sqw_p = _quad_grid(subpackets)
+    decode = (aa, nbx, bh, bw, sqh_p, sqw_p, R)
 
     uniforms = build_uniforms(params, jnp.asarray(row_offset, jnp.float32))
     lights = build_lights(params, cfg.multi_light)
@@ -583,6 +654,10 @@ def render_wavefront(
                          interpret=interpret)
     )
     fission = _FISSION
+    # Per-call state row count: module ROWS is the import-time default,
+    # but fission (and hence the hit-record rows) may be toggled per run
+    # (tests monkeypatch _FISSION).
+    SROWS = 24 if fission else 16
     p_dims7 = (pC, pC_pad, pK, M, L, p_subg, p_mxu)
     state = pl.pallas_call(
         _make_primary_kernel(cfg, p_dims7,
@@ -590,8 +665,8 @@ def render_wavefront(
                              fission=fission),
         grid=(n_tiles,),
         in_specs=p_geom_specs,
-        out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
+        out_specs=pl.BlockSpec((SROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SROWS, n_pad), jnp.float32),
         scratch_shapes=p_scratch,
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,
@@ -610,15 +685,15 @@ def render_wavefront(
         )
         state = pl.pallas_call(
             _make_bounce_kernel(cfg, p_dims7, p_stream, prim_counts,
-                                subpackets, R, mode="shade"),
+                                subpackets, R, mode="shade", decode=decode),
             grid=(n_tiles,),
             in_specs=p_geom_specs
-            + [pl.BlockSpec((ROWS, R), lambda i: (0, i),
+            + [pl.BlockSpec((SROWS, R), lambda i: (0, i),
                             memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i),
+            out_specs=pl.BlockSpec((SROWS, R), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
-            scratch_shapes=p_scratch + [pltpu.VMEM((ROWS, R), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((SROWS, n_pad), jnp.float32),
+            scratch_shapes=p_scratch,
             interpret=interpret,
             compiler_params=COMPILER_PARAMS,
         )(uni0, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t,
@@ -659,10 +734,11 @@ def render_wavefront(
         assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)
         kernels = (
             [_make_bounce_kernel(cfg, dims, stream, prim_counts, Sb, Rb,
-                                 mode=m) for m in ("trace", "shade")]
+                                 mode=m, decode=decode)
+             for m in ("trace", "shade")]
             if fission
             else [_make_bounce_kernel(cfg, dims, stream, prim_counts,
-                                      Sb, Rb)]
+                                      Sb, Rb, decode=decode)]
         )
         b_scratch = (
             scratch if Rb == R
@@ -671,29 +747,56 @@ def render_wavefront(
         )
 
         def run_prefix(st, uni_d, pt):
-            P = pt * R
-            sub = jax.lax.slice(st, (0, 0), (ROWS, P))
+            # Compiled: the full state array is passed through with the
+            # state input ALIASED to the output (index len(geom_specs) =
+            # the state operand) and the grid covering only the prefix
+            # tiles — tiles beyond the prefix keep their bytes in place
+            # (it is literally the same buffer). The old form sliced the
+            # prefix out and dynamic_update_slice'd it back: two extra
+            # full-prefix HBM copy passes per bounce, pure floor.
+            # Interpret mode keeps the slice/update form (its aliasing
+            # semantics for grid-uncovered output regions are not
+            # trustworthy; perf is irrelevant there) — the math is
+            # identical either way.
+            if interpret:
+                P = pt * R
+                sub = jax.lax.slice(st, (0, 0), (SROWS, P))
+                for kn in kernels:
+                    sub = pl.pallas_call(
+                        kn,
+                        grid=(pt * (R // Rb),),
+                        in_specs=geom_specs
+                        + [pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM)],
+                        out_specs=pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
+                                               memory_space=pltpu.VMEM),
+                        out_shape=jax.ShapeDtypeStruct((SROWS, P), jnp.float32),
+                        scratch_shapes=b_scratch,
+                        interpret=interpret,
+                        compiler_params=COMPILER_PARAMS,
+                    )(uni_d, cset.mats, lights, prims, cset.aabb_t,
+                      cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins, sub)
+                return jax.lax.dynamic_update_slice(st, sub, (0, 0))
             for kn in kernels:
-                sub = pl.pallas_call(
+                st = pl.pallas_call(
                     kn,
                     grid=(pt * (R // Rb),),
                     in_specs=geom_specs
-                    + [pl.BlockSpec((ROWS, Rb), lambda i: (0, i),
+                    + [pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)],
-                    out_specs=pl.BlockSpec((ROWS, Rb), lambda i: (0, i),
+                    out_specs=pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
                                            memory_space=pltpu.VMEM),
-                    out_shape=jax.ShapeDtypeStruct((ROWS, P), jnp.float32),
-                    scratch_shapes=b_scratch
-                    + [pltpu.VMEM((ROWS, Rb), jnp.float32)],
-                    interpret=interpret,
+                    out_shape=jax.ShapeDtypeStruct((SROWS, n_pad), jnp.float32),
+                    scratch_shapes=b_scratch,
+                    input_output_aliases={len(geom_specs): 0},
                     compiler_params=COMPILER_PARAMS,
                 )(uni_d, cset.mats, lights, prims, cset.aabb_t,
-                  cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins, sub)
-            return jax.lax.dynamic_update_slice(st, sub, (0, 0))
+                  cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins, st)
+            return st
 
         def at_extent(st, gp, uni_d, ext_tiles):
             st, gp, n_alive_g = _compact_prefix(
-                st, gp, n_pad, ext_tiles * R // GROUP)
+                st, gp, n_pad, ext_tiles * R // GROUP, SROWS)
             needed_tiles = (n_alive_g * GROUP + (R - 1)) // R
             # Smallest level covering the alive prefix; alive rays sit
             # inside the current extent, so idx <= the extent's own index.
@@ -735,9 +838,19 @@ def render_wavefront(
         # reproduced on hardware, interpret clean) — the unrolled chain is
         # correct, so force it for this non-default tile size until the
         # Mosaic/XLA interaction is root-caused.
+        # COSIG_WF_LOOP=fori overrides BOTH unroll guards (including the
+        # interpret one) — the falsifiability escape used by
+        # tools/repro_s1_depth_chain.py and
+        # tools/repro_interpret_while_shardmap.py to demonstrate the bugs
+        # the guards protect against; never set it in production runs.
         force_unroll = subpackets == 1
+        wf_loop = _os.environ.get("COSIG_WF_LOOP")
+        if wf_loop == "fori":
+            interpret_unroll = force_unroll = False
+        else:
+            interpret_unroll = interpret
         carry = (state, group_perm, jnp.int32(len(levels) - 1))
-        if interpret or force_unroll or _os.environ.get("COSIG_WF_LOOP") == "py":
+        if interpret_unroll or force_unroll or wf_loop == "py":
             for depth in range(1, cfg.max_depth):
                 carry = depth_body(jnp.int32(depth), carry)
             state, group_perm, _ = carry
@@ -751,8 +864,13 @@ def render_wavefront(
     # color rows need restoring (the rays-traced sum is permutation-
     # invariant); at max_depth == 1 no compaction ran, so skip the
     # identity gather entirely ----
-    rays = jnp.sum(state[16])  # padding rays never traced -> count 0
+    rays = jnp.sum(state[13])  # padding rays never traced -> count 0
     colors = state[9:12]
+    if _NOUNT:  # measurement stub: cheap contiguous reshape, wrong image
+        img = (
+            colors[:, : band * width].reshape(3, band, width).transpose(1, 2, 0)
+        )
+        return img, rays
     if cfg.max_depth > 1:
         g_total = n_pad // GROUP
         inv = jnp.argsort(group_perm)

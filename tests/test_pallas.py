@@ -365,7 +365,7 @@ def test_wavefront_mixed_granularity_exact(scene1):
 
 def test_wavefront_fission_depth1(scene1, monkeypatch):
     """Kernel fission (COSIG_WF_FISSION: trace and shade as separate
-    pallas_calls, hit record in state rows 17-21) must be BIT-equal to
+    pallas_calls, hit record in state rows 15-19) must be BIT-equal to
     the fused form at depth 1 — the record rows round-trip the traverse
     epilogue's exact f32 values (kernel_core.bounce_trace)."""
     from cosig_tpu.ops import trace_wavefront

@@ -27,7 +27,7 @@ from cosig_tpu.ops.kernel_core import COMPILER_PARAMS
 
 F = np.float32
 R = 4096
-ROWS = 24
+ROWS = 16  # mirrors the round-4 16-row state layout
 N_TILES = 1024
 C, K, COMPS = 70, 32, 36
 C_PAD = 128
@@ -81,7 +81,7 @@ def body_raygen(uniforms, aabb_t, geom, state):
     state[3:4] = dx
     state[4:5] = dy
     state[5:6] = dz
-    state[6:24] = jnp.zeros((18, R), F)
+    state[6:16] = jnp.zeros((10, R), F)
 
 
 def timed(run, uniforms, aabb_t, geom, label):

@@ -2,7 +2,8 @@
 
 Runs ONLY the primary trace kernel (fission mode's trace half) twice —
 VPU (COSIG_MXU=0) and MXU (COSIG_MXU=1) — on the same frame, reads the
-per-ray hit records (state rows 17-21: t, nx, ny, nz, mat), and diffs
+per-ray hit records (state rows trace_wavefront._REC0.._REC0+4:
+t, nx, ny, nz, mat), and diffs
 them. For a sample of diverging rays, recomputes the winner on the host
 in f64 and f32 from the cluster plane coefficients to say which backend
 is right and HOW the MXU one is wrong (wrong winner gid? shifted t?
@@ -36,6 +37,10 @@ def primary_state(cset, params, cfg, mxu_env):
     )
 
     os.environ["COSIG_MXU"] = mxu_env
+    # The fission hit record needs the fission ROWS layout (>= _REC0 + 5);
+    # tw.ROWS is 16 in the default layout. Hardcoding 24 here keeps the
+    # script independent of the COSIG_WF_FISSION env at import time.
+    ROWS = max(tw.ROWS, tw._REC0 + 5 + (8 - (tw._REC0 + 5) % 8) % 8)
     R = tw.R
     subpackets = tw.SUBPACKETS
     width, height = cfg.width, cfg.height
@@ -59,9 +64,9 @@ def primary_state(cset, params, cfg, mxu_env):
                                 subpackets, R, fission=True),
         grid=(n_tiles,),
         in_specs=geom_specs,
-        out_specs=pl.BlockSpec((tw.ROWS, R), lambda i: (0, i),
+        out_specs=pl.BlockSpec((ROWS, R), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tw.ROWS, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=COMPILER_PARAMS,
     )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
@@ -134,7 +139,7 @@ def main():
     same_rays = np.abs(st_vpu[0:6] - st_mxu[0:6]).max()
     print(f"ray o/d identical: max diff {same_rays:.3e}  alive {alive.sum()}")
 
-    REC0 = 17
+    from cosig_tpu.ops.trace_wavefront import _REC0 as REC0
     t_v, t_m = st_vpu[REC0], st_mxu[REC0]
     n_v, n_m = st_vpu[REC0 + 1:REC0 + 4], st_mxu[REC0 + 1:REC0 + 4]
     mat_v, mat_m = st_vpu[REC0 + 4], st_mxu[REC0 + 4]
@@ -165,7 +170,7 @@ def main():
         d = st_vpu[3:6, i]
         t64, gid64, _ = host_winner(geom, o, d, np.float64)
         t32, gid32, _ = host_winner(geom, o, d, np.float32)
-        print(f"ray {i}: px={st_vpu[13, i]:.0f} py={st_vpu[14, i]:.0f}\n"
+        print(f"ray {i}: rid={st_vpu[14, i]:.0f}\n"
               f"  vpu t={t_v[i]:.6f} mat={mat_v[i]:.0f} "
               f"n=({n_v[0, i]:.4f},{n_v[1, i]:.4f},{n_v[2, i]:.4f})\n"
               f"  mxu t={t_m[i]:.6f} mat={mat_m[i]:.0f} "

@@ -1,0 +1,120 @@
+"""Round-4 same-window experiment sweep.
+
+Runs bench.py in subprocesses (env knobs are read at import) and appends
+one JSON line per run to tools/r4_sweep_results.jsonl. Rows within a
+stage run back-to-back so comparisons stay same-window (CLAUDE.md tunnel
+hazard #3); anchors are interleaved ABAB where the comparison matters.
+
+Stages:
+  anchor  — old (round-3 close, the .r3 worktree) vs new, interleaved
+            ABAB on glass + large_mesh: the floor-cut verdict.
+  floor   — fine floor attribution (delegates to stage_profile floor).
+  group   — compaction GROUP sweep on glass (128/256/1024).
+  largeK  — large_mesh: K64 anchor re-confirmation (round-3 decision 1
+            caveat), VPU K128, MXU K64/K128 with the packed cut, and
+            the Rb/Sb bounce-granularity rows (VERDICT #3).
+  glassmx — full-MXU vs VPU re-confirmation on glass at shipped k
+            (VERDICT #4b).
+
+Usage: python tools/r4_sweep.py [anchor|floor|group|largeK|glassmx ...]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(os.path.dirname(__file__), "r4_sweep_results.jsonl")
+R3 = os.path.join(REPO, ".r3")  # round-3 close worktree (817ca4c)
+
+# (label, config, env, cwd) — cwd None = repo (new code), R3 = old code.
+STAGES = {
+    "anchor": [
+        ("glass-new-1", "glass_sphere", {}, None),
+        ("glass-old-1", "glass_sphere", {}, R3),
+        ("glass-new-2", "glass_sphere", {}, None),
+        ("glass-old-2", "glass_sphere", {}, R3),
+        ("large-new-1", "large_mesh", {}, None),
+        ("large-old-1", "large_mesh", {}, R3),
+        ("large-new-2", "large_mesh", {}, None),
+        ("large-old-2", "large_mesh", {}, R3),
+    ],
+    "anchor-mirror": [
+        ("mirror-new-1", "mirror_sphere", {}, None),
+        ("mirror-old-1", "mirror_sphere", {}, R3),
+        ("mirror-new-2", "mirror_sphere", {}, None),
+        ("mirror-old-2", "mirror_sphere", {}, R3),
+    ],
+    "group": [
+        ("glass-G128-1", "glass_sphere", {}, None),
+        ("glass-G256", "glass_sphere", {"COSIG_WF_GROUP": "256"}, None),
+        ("glass-G1024", "glass_sphere", {"COSIG_WF_GROUP": "1024"}, None),
+        ("glass-G128-2", "glass_sphere", {}, None),
+    ],
+    "largeK": [
+        ("large-K64-1", "large_mesh", {}, None),  # auto-k lands on 64
+        ("large-K32", "large_mesh", {"COSIG_K": "32"}, None),
+        ("large-K64-2", "large_mesh", {}, None),
+        ("large-K128-vpu", "large_mesh", {"COSIG_K": "128"}, None),
+        ("large-K128-mxu", "large_mesh",
+         {"COSIG_K": "128", "COSIG_MXU": "1"}, None),
+        ("large-K64-mxu", "large_mesh", {"COSIG_MXU": "1"}, None),
+        ("large-K64-3", "large_mesh", {}, None),
+        ("large-RbSb", "large_mesh",
+         {"COSIG_WF_RB": "1024", "COSIG_WF_SB": "8"}, None),
+        ("large-RbSb-frustum", "large_mesh",
+         {"COSIG_WF_RB": "1024", "COSIG_WF_SB": "8",
+          "COSIG_BOUNCE_FRUSTUM": "1"}, None),
+        ("large-K64-4", "large_mesh", {}, None),
+    ],
+    "glassmx": [
+        ("glass-vpu-1", "glass_sphere", {}, None),
+        ("glass-mxu", "glass_sphere", {"COSIG_MXU": "1"}, None),
+        ("glass-vpu-2", "glass_sphere", {}, None),
+        ("glass-mxu-mixed", "glass_sphere",
+         {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}, None),
+    ],
+}
+
+
+def run_one(label: str, config: str, env_extra: dict, cwd=None) -> dict:
+    env = dict(os.environ, COSIG_BENCH_NO_RMSE="1", **env_extra)
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--config", config,
+         "--backend", "wavefront", "--emit-details"],
+        capture_output=True, text=True, timeout=2400, env=env,
+        cwd=cwd or REPO,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+    try:
+        rec = json.loads(line)
+    except json.JSONDecodeError:
+        rec = {"error": (out.stderr or out.stdout)[-400:]}
+    rec.update(label=label, env=env_extra, wall_s=round(time.time() - t0, 1),
+               ts=time.strftime("%H:%M:%S"),
+               code="r3" if cwd else "r4")
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    keys = ("ms_per_frame", "mrays_per_s", "compile_s", "image_mean")
+    print(label, {k: rec.get(k) for k in keys}, flush=True)
+    return rec
+
+
+def main():
+    for stage in sys.argv[1:] or ["anchor"]:
+        if stage == "floor":
+            subprocess.run(
+                [sys.executable, os.path.join("tools", "stage_profile.py"),
+                 "floor", "glass_sphere"], cwd=REPO,
+            )
+            continue
+        print(f"=== {stage} ===", flush=True)
+        for label, config, env, cwd in STAGES[stage]:
+            run_one(label, config, env, cwd)
+
+
+if __name__ == "__main__":
+    main()
