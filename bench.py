@@ -73,6 +73,12 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
             build_clusters(arrays, tris=tris, mats_host=mats, k=int(kp))
             if kp else None
         )
+        # COSIG_K_SHADOW: coarser any-hit shadow cluster set (wavefront).
+        ksh = os.environ.get("COSIG_K_SHADOW")
+        cset_sh = (
+            build_clusters(arrays, tris=tris, mats_host=mats, k=int(ksh))
+            if ksh else None
+        )
 
         if backend == "wavefront":
             from cosig_tpu.ops import trace_wavefront
@@ -87,12 +93,14 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
                         light_intensity=params.light_intensity + prev[0, 0, 0] * 0.0,
                     )
                     img, rays = trace_wavefront.render_wavefront(
-                        cset, p2, cfg, interpret=interpret, cset_primary=cset_p
+                        cset, p2, cfg, interpret=interpret,
+                        cset_primary=cset_p, cset_shadow=cset_sh,
                     )
                     return (img, acc + rays), None
 
                 img0, rays0 = trace_wavefront.render_wavefront(
-                    cset, params, cfg, interpret=interpret, cset_primary=cset_p
+                    cset, params, cfg, interpret=interpret,
+                    cset_primary=cset_p, cset_shadow=cset_sh,
                 )
                 (img, total), _ = jax.lax.scan(body, (img0, rays0), None, length=k - 1)
                 return img, total

@@ -1375,7 +1375,8 @@ def bounce_trace(traverse, state):
 
 
 def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
-                px, py, s_plane, depth_f, is_last, rec=None):
+                px, py, s_plane, depth_f, is_last, rec=None,
+                traverse_shadow=None):
     """One Whitted bounce on the ray-state rows (compute:356-473).
 
     ``state`` rows (f32 x R lanes): 0-2 origin, 3-5 direction,
@@ -1398,6 +1399,11 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
     ``rec``: a precomputed ``bounce_trace`` hit record (fission mode —
     this call is then the SHADE half and ``traverse`` is used only for
     the any-hit shadow queries); default: trace inline (fused form).
+
+    ``traverse_shadow``: optional separate traversal for the any-hit
+    shadow queries (a coarser cluster cut of the SAME triangle soup —
+    the cset_shadow lever). Exact: occlusion is a clustering-invariant
+    boolean over the identical pair set. Default: ``traverse``.
     """
     R = state.shape[-1]
     bg = (uniforms[U_BG], uniforms[U_BG + 1], uniforms[U_BG + 2])
@@ -1469,7 +1475,7 @@ def bounce_core(cfg, uniforms, mats, lights, traverse, state, M, L,
             # identical to the closest-hit form's (~hit) | (t > dist)
             # (closest t > dist iff no hit has t <= dist), but the visit
             # loop skips all winner selection/interpolation.
-            s_occ, *_ = traverse(
+            s_occ, *_ = (traverse_shadow or traverse)(
                 hx + nx * OFFSET, hy + ny * OFFSET, hz + nz * OFFSET,
                 ldx, ldy, ldz, shadow_active, max_t=dist_l, any_hit=True,
             )

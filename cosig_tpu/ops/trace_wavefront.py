@@ -184,6 +184,28 @@ def _decode_rid(rid_plane, uniforms, decode):
     return px, py, s_i.astype(F)
 
 
+def _make_shadow_traverse(sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
+                          sh_geom, best_ref, sh_flag_vmem, sh_flags_smem,
+                          sh_list_smem, sem, sbflag_vmem, sb_smem, R,
+                          subpackets, prims, n_sph, n_box, frustum):
+    """Traversal closure over the SHADOW cluster set (cset_shadow) —
+    any-hit queries on a coarser cut of the same triangle soup, VPU pair
+    tests, single cull block (enforced by _shadow_resources). Returns
+    None when no shadow set is wired (bounce_core then uses the main
+    traversal). best_ref / sem / superblock scratch are shared with the
+    main traversal — uses are strictly sequential within a bounce."""
+    if sh_dims is None:
+        return None
+    shC, shC_pad, shK = sh_dims
+    return make_traverse(
+        sh_aabb_t, sh_sb_aabb_t, sh_geom, best_ref, sh_flag_vmem,
+        sh_flags_smem, sh_list_smem, sem, sbflag_vmem, sb_smem,
+        shC, shC_pad, shK, R,
+        subpackets=subpackets, prims=prims, n_sph=n_sph, n_box=n_box,
+        sub_aabb_t=sh_sub_aabb_t, subgroups=1, frustum=frustum,
+    )
+
+
 def _quad_grid(S: int):
     """Sub-packet arrangement inside a pixel block: (rows, cols).
 
@@ -210,10 +232,12 @@ def _primary_block(aa: int, tile_rays: int = None):
 
 def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                          prim_counts=(0, 0), subpackets=1, R=R,
-                         fission=False):
+                         fission=False, sh_dims=None):
     """``fission=True`` stops after the closest-hit trace and stores the
     hit record in rows 15-19; the shared shade kernel finishes the
-    bounce (see the _FISSION note)."""
+    bounce (see the _FISSION note). ``sh_dims``: (C, C_pad, K) of the
+    shadow cluster set when any-hit traversals run on their own coarser
+    cut (cset_shadow — see _shadow_resources)."""
     C, C_pad, K, M, L, n_subg, mxu = dims
     width, height = cfg.width, cfg.height
     aa = max(1, cfg.aa_samples)
@@ -222,8 +246,10 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
     n_sph, n_box = prim_counts
 
     def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
-               geom, geom_mx, gatt, state, best_ref, flag_vmem, flags_smem,
-               list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx):
+               geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
+               sh_geom, state, best_ref, flag_vmem, flags_smem,
+               list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
+               sh_flag_vmem, sh_flags_smem, sh_list_smem):
         tile = pl.program_id(0)
         bx = tile % nbx
         by = tile // nbx
@@ -331,6 +357,12 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             # scalar compaction.
             frustum=True,
         )
+        traverse_shadow = _make_shadow_traverse(
+            sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
+            best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
+            sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
+            frustum=True,
+        )
         if fission:
             _rec_store(state, bounce_trace(traverse, state))
         else:
@@ -338,6 +370,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                 cfg, uniforms, mats, lights, traverse, state, M, L,
                 px, py, s_plane, jnp.float32(0.0),
                 is_last=cfg.max_depth == 1,
+                traverse_shadow=traverse_shadow,
             )
 
     return kernel
@@ -345,7 +378,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
 
 def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                         prim_counts=(0, 0), subpackets=1, R=R,
-                        mode="fused", decode=None):
+                        mode="fused", decode=None, sh_dims=None):
     """ONE bounce executable for every depth: the bounce index and the
     final-bounce flag are SMEM uniforms (U_DEPTH / U_LAST), not trace-time
     constants — cutting the wavefront compile ladder from
@@ -369,9 +402,10 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
     bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
 
     def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
-               geom, geom_mx, gatt, state_in, state_out, best_ref, flag_vmem,
+               geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
+               sh_geom, state_in, state_out, best_ref, flag_vmem,
                flags_smem, list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem,
-               raysmx):
+               raysmx, sh_flag_vmem, sh_flags_smem, sh_list_smem):
         # The output block is the working ref (readable after write in
         # Pallas VMEM); one copy-in replaces the old in -> scratch -> out
         # double copy.
@@ -400,6 +434,12 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                 mxu_anyhit=mxu != 2,
                 frustum=bounce_frustum,
             )
+            traverse_shadow = _make_shadow_traverse(
+                sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
+                best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
+                sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
+                frustum=bounce_frustum,
+            )
             if mode == "trace":
                 _rec_store(state, bounce_trace(traverse, state))
             else:
@@ -408,6 +448,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                     px, py, s_plane, uniforms[U_DEPTH],
                     is_last=uniforms[U_LAST],
                     rec=_rec_load(state) if mode == "shade" else None,
+                    traverse_shadow=traverse_shadow,
                 )
 
 
@@ -581,6 +622,45 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
             scratch, geom_specs)
 
 
+def _shadow_resources(cset_sh: cl.ClusterSet | None):
+    """Kernel resources for the SHADOW cluster set (cset_shadow) ->
+    (sh_dims, inputs(4), specs(4), scratch(3)). VPU pair tests only and
+    a single cull block (the set exists to SHRINK the any-hit cull
+    width, so a multi-block shadow cut defeats its purpose). When no set
+    is wired, tiny unread dummies keep the kernel signatures static."""
+    if cset_sh is None:
+        dummy8 = jnp.zeros((8, 128), jnp.float32)
+        dummy_g = jnp.zeros((1, 8, cl.GEOM_COMPS), jnp.float32)
+        inputs = (dummy8, dummy8, dummy8, dummy_g)
+        sh_dims = None
+    else:
+        C2, K2 = cset_sh.num_clusters, cset_sh.k
+        C_pad2 = int(cset_sh.aabb_t.shape[1])
+        assert C_pad2 <= cl.CULL_BLOCK, (
+            f"shadow cluster cut too wide ({C_pad2} > {cl.CULL_BLOCK}); "
+            "use a larger COSIG_K_SHADOW"
+        )
+        inputs = (cset_sh.aabb_t, cset_sh.sb_aabb_t, cset_sh.sub_aabb_t,
+                  cset_sh.geom)
+        sh_dims = (C2, C_pad2, K2)
+    specs = [
+        pl.BlockSpec((8, inputs[0].shape[1]), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tuple(inputs[2].shape), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(tuple(inputs[3].shape), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    w = inputs[0].shape[1]
+    scratch = [
+        pltpu.VMEM((1, w), jnp.int32),
+        pltpu.SMEM((1, w), jnp.int32),
+        pltpu.SMEM((1, w), jnp.int32),
+    ]
+    return sh_dims, inputs, specs, scratch
+
+
 def render_wavefront(
     cset: cl.ClusterSet,
     params: FrameParams,
@@ -593,6 +673,7 @@ def render_wavefront(
     prim_counts=(0, 0),
     tile_rays: int = None,
     cset_primary: cl.ClusterSet = None,
+    cset_shadow: cl.ClusterSet = None,
 ):
     """Render via wavefront stages -> (image [rows, W, 3], rays_traced).
 
@@ -613,7 +694,15 @@ def render_wavefront(
     fine-grained culling nearly free while cutting pair tests per visit;
     bounce stages keep the coarse set (their per-ray slab culls scale
     with cluster count). Exact: the winner fold is clustering-invariant
-    (see ``_stage_resources``)."""
+    (see ``_stage_resources``).
+
+    ``cset_shadow``: optional COARSER cluster set used by every any-hit
+    shadow traversal (all stages) — shadow queries re-traverse the full
+    cut once per bounce, so halving the cull width (fewer, bigger
+    clusters) attacks the shadow cull cost directly; occlusion needs no
+    winner selection, so the extra pairs per visit are cheap. Exact:
+    occlusion is a clustering-invariant boolean (bit-identical images,
+    gated by tests)."""
     R = _validate_tile_rays(tile_rays) if tile_rays is not None else globals()["R"]
     subpackets = _subpackets_for(R)
     width, height = cfg.width, cfg.height
@@ -659,10 +748,17 @@ def render_wavefront(
     # (tests monkeypatch _FISSION).
     SROWS = 24 if fission else 16
     p_dims7 = (pC, pC_pad, pK, M, L, p_subg, p_mxu)
+    # Shadow cluster set (dummies when unused; the kernel signatures are
+    # static). Appended AFTER the main geometry operands, BEFORE state.
+    sh_dims, sh_inputs, sh_specs, sh_scratch = _shadow_resources(cset_shadow)
+    geom_specs = geom_specs + sh_specs
+    scratch = scratch + sh_scratch
+    p_geom_specs = p_geom_specs + sh_specs
+    p_scratch = p_scratch + sh_scratch
     state = pl.pallas_call(
         _make_primary_kernel(cfg, p_dims7,
                              nbx, band, p_stream, prim_counts, subpackets, R,
-                             fission=fission),
+                             fission=fission, sh_dims=sh_dims),
         grid=(n_tiles,),
         in_specs=p_geom_specs,
         out_specs=pl.BlockSpec((SROWS, R), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -671,7 +767,7 @@ def render_wavefront(
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,
     )(uniforms, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t,
-      pcs.sub_aabb_t, *p_geom_ins)
+      pcs.sub_aabb_t, *p_geom_ins, *sh_inputs)
 
     if fission:
         # Shade half of the primary stage (the record format is
@@ -685,7 +781,8 @@ def render_wavefront(
         )
         state = pl.pallas_call(
             _make_bounce_kernel(cfg, p_dims7, p_stream, prim_counts,
-                                subpackets, R, mode="shade", decode=decode),
+                                subpackets, R, mode="shade", decode=decode,
+                                sh_dims=sh_dims),
             grid=(n_tiles,),
             in_specs=p_geom_specs
             + [pl.BlockSpec((SROWS, R), lambda i: (0, i),
@@ -697,7 +794,7 @@ def render_wavefront(
             interpret=interpret,
             compiler_params=COMPILER_PARAMS,
         )(uni0, pcs.mats, lights, prims, pcs.aabb_t, pcs.sb_aabb_t,
-          pcs.sub_aabb_t, *p_geom_ins, state)
+          pcs.sub_aabb_t, *p_geom_ins, *sh_inputs, state)
 
     # ---- bounce stages with compaction between ----
     # Alive groups are compacted to a prefix, so the bounce kernel only
@@ -734,16 +831,17 @@ def render_wavefront(
         assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)
         kernels = (
             [_make_bounce_kernel(cfg, dims, stream, prim_counts, Sb, Rb,
-                                 mode=m, decode=decode)
+                                 mode=m, decode=decode, sh_dims=sh_dims)
              for m in ("trace", "shade")]
             if fission
             else [_make_bounce_kernel(cfg, dims, stream, prim_counts,
-                                      Sb, Rb, decode=decode)]
+                                      Sb, Rb, decode=decode,
+                                      sh_dims=sh_dims)]
         )
         b_scratch = (
             scratch if Rb == R
             else _stage_resources(cset, stream, Rb, frustum=bounce_frustum,
-                                  interpret=interpret)[3]
+                                  interpret=interpret)[3] + sh_scratch
         )
 
         def run_prefix(st, uni_d, pt):
@@ -775,7 +873,8 @@ def render_wavefront(
                         interpret=interpret,
                         compiler_params=COMPILER_PARAMS,
                     )(uni_d, cset.mats, lights, prims, cset.aabb_t,
-                      cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins, sub)
+                      cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins,
+                      *sh_inputs, sub)
                 return jax.lax.dynamic_update_slice(st, sub, (0, 0))
             for kn in kernels:
                 st = pl.pallas_call(
@@ -791,7 +890,8 @@ def render_wavefront(
                     input_output_aliases={len(geom_specs): 0},
                     compiler_params=COMPILER_PARAMS,
                 )(uni_d, cset.mats, lights, prims, cset.aabb_t,
-                  cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins, st)
+                  cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins,
+                  *sh_inputs, st)
             return st
 
         def at_extent(st, gp, uni_d, ext_tiles):
@@ -898,9 +998,9 @@ def render_wavefront(
 )
 def render_jit(cset, params, cfg: StaticConfig, interpret: bool = False,
                stream: bool = None, prims=None, prim_counts=(0, 0),
-               tile_rays: int = None, cset_primary=None):
+               tile_rays: int = None, cset_primary=None, cset_shadow=None):
     return render_wavefront(
         cset, params, cfg, interpret, stream,
         prims=prims, prim_counts=prim_counts, tile_rays=tile_rays,
-        cset_primary=cset_primary,
+        cset_primary=cset_primary, cset_shadow=cset_shadow,
     )

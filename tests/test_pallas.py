@@ -604,3 +604,28 @@ def test_subgroup_culling_exact(scene1, monkeypatch):
     img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
     assert float(r0) == float(r1)
     assert np.abs(np.asarray(img) - np.asarray(base)).max() == 0.0
+
+
+def test_wavefront_shadow_cset_exact(scene1):
+    """A separate (coarser) shadow cluster set (cset_shadow) must be
+    BIT-identical to the single-set render: any-hit occlusion is a
+    clustering-invariant boolean over the identical pair set."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(resolution_override=(64, 64), max_depth=3)
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays, k=32)
+    cs_sh = build_clusters(arrays, k=64)
+    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    shd, r1 = trace_wavefront.render_wavefront(
+        cs, params, cfg, interpret=True, cset_shadow=cs_sh
+    )
+    assert float(r0) == float(r1)
+    np.testing.assert_array_equal(np.asarray(shd), np.asarray(base))
+    # Same-k shadow set is the degenerate identity case.
+    same, _ = trace_wavefront.render_wavefront(
+        cs, params, cfg, interpret=True, cset_shadow=cs
+    )
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(base))
