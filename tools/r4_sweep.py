@@ -69,6 +69,30 @@ STAGES = {
           "COSIG_BOUNCE_FRUSTUM": "1"}, None),
         ("large-K64-4", "large_mesh", {}, None),
     ],
+    # Tile-size sweep: fewer, bigger tiles amortize the per-traversal
+    # fixed cost (flag DMA + scalar compaction, ~5.6 us each). R=8192's
+    # round-2 regression was the (4,2) quad stretch, fixed by _quad_grid;
+    # R=16384 widens sub-packets to 2048 lanes (S stays 8).
+    "bigR": [
+        ("glass-R4096-1", "glass_sphere", {}, None),
+        ("glass-R8192", "glass_sphere", {"COSIG_WF_R": "8192"}, None),
+        ("glass-R16384", "glass_sphere", {"COSIG_WF_R": "16384"}, None),
+        ("glass-R4096-2", "glass_sphere", {}, None),
+        ("large-R8192", "large_mesh", {"COSIG_WF_R": "8192"}, None),
+        ("large-R16384", "large_mesh", {"COSIG_WF_R": "16384"}, None),
+        ("large-R4096", "large_mesh", {}, None),
+    ],
+    # Shadow cluster set (cset_shadow): coarser any-hit cut.
+    "shadowK": [
+        ("glass-base-1", "glass_sphere", {}, None),
+        ("glass-sh64", "glass_sphere", {"COSIG_K_SHADOW": "64"}, None),
+        ("glass-sh128", "glass_sphere", {"COSIG_K_SHADOW": "128"}, None),
+        ("glass-base-2", "glass_sphere", {}, None),
+        ("large-base-1", "large_mesh", {}, None),
+        ("large-sh128", "large_mesh", {"COSIG_K_SHADOW": "128"}, None),
+        ("large-sh256", "large_mesh", {"COSIG_K_SHADOW": "256"}, None),
+        ("large-base-2", "large_mesh", {}, None),
+    ],
     "glassmx": [
         ("glass-vpu-1", "glass_sphere", {}, None),
         ("glass-mxu", "glass_sphere", {"COSIG_MXU": "1"}, None),
