@@ -140,6 +140,14 @@ _REC0 = 15
 _NOCOMPACT = _os.environ.get("COSIG_WF_NOCOMPACT") == "1"
 _NOUNT = _os.environ.get("COSIG_WF_NOUNT") == "1"
 
+# Mean-first finalization (default on; COSIG_WF_MEANFIRST=0 reverts):
+# average the AA samples INSIDE each compaction group BEFORE the inverse
+# group gather. aa divides GROUP, so a pixel's samples never straddle a
+# group boundary and the gather moves bitwise the same numbers — just
+# aa x fewer of them (tools/perm_bench.py asserts bitwise equality;
+# tests/test_wavefront.py gates it end-to-end).
+_MEANFIRST = _os.environ.get("COSIG_WF_MEANFIRST", "1") != "0"
+
 
 def _rec_store(state, rec):
     hit, t, nx, ny, nz, mat_c = rec
@@ -971,19 +979,30 @@ def render_wavefront(
             colors[:, : band * width].reshape(3, band, width).transpose(1, 2, 0)
         )
         return img, rays
+    # Ray enumeration (primary kernel): tile-major (nby, nbx), then quad-
+    # major pixels within the block (one quad per sub-packet), row-major
+    # within a quad, then AA sample. Average the AA samples (consecutive
+    # lanes) BEFORE the big untranspose: the awkward 8-D transpose lowers
+    # to slow copies on TPU (~6.4 ms at 4M rays measured), so shrink its
+    # input aa x first — and (mean-first, _MEANFIRST) before the inverse
+    # group gather too, shrinking THAT aa x as well.
+    sqh, sqw = _quad_grid(subpackets)
+    qh, qw = bh // sqh, bw // sqw
+    meanfirst = _MEANFIRST and GROUP % aa == 0
     if cfg.max_depth > 1:
         g_total = n_pad // GROUP
         inv = jnp.argsort(group_perm)
-        colors = colors.reshape(3, g_total, GROUP)[:, inv, :].reshape(3, n_pad)
-    # Ray enumeration (primary kernel): tile-major (nby, nbx), then quad-
-    # major pixels within the block (one quad per sub-packet), row-major
-    # within a quad, then AA sample.
-    sqh, sqw = _quad_grid(subpackets)
-    qh, qw = bh // sqh, bw // sqw
-    # Average the AA samples (consecutive lanes) BEFORE the big
-    # untranspose: the awkward 8-D transpose lowers to slow copies on
-    # TPU (~6.4 ms at 4M rays measured), so shrink its input 4x first.
-    colors = colors.reshape(3, nby, nbx, sqh, sqw, qh, qw, aa).mean(axis=7)
+        if meanfirst:
+            colors = colors.reshape(3, g_total, GROUP // aa, aa).mean(axis=3)
+            colors = colors[:, inv, :].reshape(
+                3, nby, nbx, sqh, sqw, qh, qw)
+        else:
+            colors = (
+                colors.reshape(3, g_total, GROUP)[:, inv, :]
+                .reshape(3, nby, nbx, sqh, sqw, qh, qw, aa).mean(axis=7)
+            )
+    else:
+        colors = colors.reshape(3, nby, nbx, sqh, sqw, qh, qw, aa).mean(axis=7)
     img = (
         colors.transpose(0, 1, 3, 5, 2, 4, 6)
         .reshape(3, nby * bh, nbx * bw)[:, :band, :width]

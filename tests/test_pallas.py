@@ -606,6 +606,28 @@ def test_subgroup_culling_exact(scene1, monkeypatch):
     assert np.abs(np.asarray(img) - np.asarray(base)).max() == 0.0
 
 
+def test_wavefront_meanfirst_exact(scene1, monkeypatch):
+    """Mean-first finalization (AA-mean inside compaction groups BEFORE
+    the inverse group gather) must be BIT-identical to the gather-first
+    form: aa divides GROUP, so a pixel's samples never straddle a group
+    boundary and the mean averages the same values in the same order."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(64, 64), max_depth=3, aa_samples=4,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    monkeypatch.setattr(trace_wavefront, "_MEANFIRST", False)
+    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.setattr(trace_wavefront, "_MEANFIRST", True)
+    img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+
+
 def test_wavefront_shadow_cset_exact(scene1):
     """A separate (coarser) shadow cluster set (cset_shadow) must be
     BIT-identical to the single-set render: any-hit occlusion is a
