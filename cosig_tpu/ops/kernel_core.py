@@ -60,43 +60,15 @@ def _stub_mt(any_hit: bool) -> bool:
 def _stub_visit(any_hit: bool) -> bool:
     return "visit" in _STUB or (any_hit and "visit_anyhit" in _STUB)
 
-# Two-phase progressive cull experiment (frustum mode, single cull block):
-# visit near clusters first (entry <= tau), then re-cull the far set
-# against each sub-packet's worst best-t (closest-hit) or remaining
-# unoccluded lanes (any-hit) before visiting the rest. EXACT: a hull
-# entry strictly beyond every lane's current best cannot win (hit t >=
-# per-ray entry >= hull entry > bound >= that ray's best), and occlusion
-# is monotone. The amortized form of the reference's pop-time best-t
-# early-out (BVHRayTracing.compute:245-246) at packet granularity.
-_PHASE2 = os.environ.get("COSIG_PHASE2", "")  # "1"=both, "shadow"=any-hit
-_P2_TAU = np.float32(float(os.environ.get("COSIG_PHASE2_TAU", "0.5")))
-
-# Second cluster level (sub-AABB visit granularity) experiment gate:
-# COSIG_SUBG=1 enables it wherever a traversal qualifies (frustum mode,
-# unstreamed geometry, cluster set built with sub-AABBs).
-_SUBG = os.environ.get("COSIG_SUBG") == "1"
-
-# Batched MXU visits (COSIG_MXU_BATCH=B, MXU path only): process the
-# compacted visit list in chunks of B clusters — gather the B (5K, 64)
-# operand blocks, run ONE (B*5K, 64) @ (64, w) pair-test dot per
-# sub-packet window, then the per-block winner selection on the dot's
-# row slices. Removes the per-visit dot dispatch (B-fold fewer, B-fold
-# taller GEMMs: at K=32, M goes 160 -> 160*B, so the 128-row MXU tiles
-# fill) and amortizes the scalar list/loop overhead that killed the SUBG
-# experiment. Exact: chunk padding re-visits a real cluster and both
-# folds (lexicographic (t, gid) closest-hit, max-occlusion any-hit) are
-# idempotent, so duplicate visits cannot change any lane.
-_MXU_BATCH = int(os.environ.get("COSIG_MXU_BATCH", "0"))
-
-# Chunk-level winner selection for batched visits (default on; 0 = the
-# per-block mxu_sel form as the A/B): ONE fold per chunk — gather the
-# chunk PLANE-MAJOR so va/vb/vc/s/num/gid row groups are contiguous
-# (B*K, w) slices of one dot, mask the tail chunk's duplicate blocks,
-# and tie-break across blocks on the MXU-computed gid plane
-# (clusters.MX_PLANES note). B-fold fewer selection ops (each B-fold
-# bigger), one attribute contraction per chunk with contraction depth
-# B*K, one best-row fold per chunk.
-_MXU_CSEL = os.environ.get("COSIG_MXU_CSEL", "1") != "0"
+# Pruned experiment levers (round 4; full implementations in git history
+# and measurements in STATUS/PROGRESS): COSIG_PHASE2 two-phase
+# progressive cull (flat on every config), COSIG_SUBG sub-AABB visit
+# granularity (4x regression — per-visit scalar overhead), and
+# COSIG_MXU_BATCH/_CSEL chunked MXU visits (lost 17-47 % on both bench
+# configs). The sub-AABB cluster data (clusters.subgroups /
+# sub_aabb_t) is retained: kernel operand signatures and the cluster
+# build stay unchanged, and it remains available to future
+# visit-granularity experiments.
 
 from cosig_tpu.accel import clusters as cl
 from cosig_tpu.models.soa import FrameParams
@@ -294,28 +266,16 @@ def make_traverse(
     # Compiled-TPU only: in interpret mode XLA's dot reassociates the
     # f32 sums, breaking the bitwise backend-equality gates; on hardware
     # the divergence is ULP-scale and bounded by the bench RMSE gate.
-    # Requires unstreamed geometry (the mx operands live in VMEM) and
-    # G == 1 (the SUBG experiment keeps the VPU path).
+    # Requires unstreamed geometry (the mx operands live in VMEM).
     mxu = geom_mx is not None
-    G = subgroups if (_SUBG and frustum and not stream and subgroups > 1) else 1
     if mxu:
         assert gatt is not None and raysmx is not None
-        assert not stream and G == 1
+        assert not stream
         if not mxu_anyhit:
             # Mixed mode (COSIG_MXU_SHADOW=0): any-hit shadow traversals
             # keep the VPU pair test, so the REAL 36-col geometry must be
             # resident alongside the matmul operands.
             assert geom.shape[1:] == (K, cl.GEOM_COMPS), geom.shape
-    if G > 1:
-        assert sub_aabb_t is not None and K % G == 0
-        assert G * S <= 32 and C * G < 2 ** 23  # flag/entry packing
-        # Geometry must be passed SUBGROUP-MAJOR: (C*G, K/G, comps) — a
-        # free host-side reshape of the (C, K, comps) block. The visit
-        # loop then does a plain first-axis load per (c, g) entry; an
-        # in-kernel dynamic sublane slice of the parent block lowers
-        # catastrophically (measured 3.8x frame regression).
-        assert geom.shape[0] == C * G or stream, geom.shape
-    KG = K // G  # geometry rows intersected per visit
 
     def traverse(ox, oy, oz, dx, dy, dz, active, max_t=None, any_hit=False):
         """``any_hit=True`` (shadow rays): only "is some hit at t <= max_t"
@@ -491,23 +451,15 @@ def make_traverse(
                 mt_hi = hull(max_t)[1] if max_t is not None else None
                 hulls.append((axes, mt_hi))
 
-        def frustum_flags(b0, b1, b2, b3, b4, b5, with_entries=False):
+        def frustum_flags(b0, b1, b2, b3, b4, b5):
             """Per-sub-packet bounding frustum vs a row of boxes -> packed
             (1, W) bits. Interval arithmetic over the sub-packet's
             origin/direction hulls; see the frustum note in the module
             docstring. NaN-conservative like ``cull``: NaN intervals (and
-            NaN AABB padding) pass; compaction is bounded by C.
-
-            ``with_entries`` also returns the per-sub-packet entry-
-            distance rows (INF where the bit is clear) — a lower bound on
-            any hit t inside the box for every ray of the sub-packet
-            (entry starts at 0 and maxes axis lower bounds computed from
-            the hull, each <= the per-ray value) — used by the two-phase
-            progressive cull."""
+            NaN AABB padding) pass; compaction is bounded by C."""
             box = ((b0, b3), (b1, b4), (b2, b5))
             W = b0.shape[1]
             m = None
-            entries = []
             for sp in range(S):
                 axes, mt_hi = hulls[sp]
                 entry = jnp.zeros((1, W), F)
@@ -540,711 +492,395 @@ def make_traverse(
                 bit = hit_b.astype(jnp.int32)
                 mb = bit if sp == 0 else bit << sp
                 m = mb if m is None else m | mb
-                if with_entries:
-                    entries.append(jnp.where(hit_b, entry, INF))
-            return (m, entries) if with_entries else m
+            return m
 
         flags_of = frustum_flags if frustum else cull
 
         def detail_flags(cols):
-            """Visit bits for cluster columns ``cols``. G == 1: the plain
-            per-sub-packet bits. G > 1: bit (g*S + sp) set iff sub-packet
-            ``sp``'s frustum may enter sub-box ``g`` (bit 31 may set; all
-            scalar consumers test ``!= 0`` and mask after shifting)."""
-            if G == 1:
-                return flags_of(*(aabb_t[r : r + 1, cols] for r in range(6)))
-            m = None
-            for gi in range(G):
-                mg = frustum_flags(
-                    *(sub_aabb_t[gi * 8 + r : gi * 8 + r + 1, cols]
-                      for r in range(6))
-                )
-                if gi:
-                    mg = mg << (gi * S)
-                m = mg if m is None else m | mg
-            return m
+            """Per-sub-packet visit bits for cluster columns ``cols``:
+            entry = c (S == 1) or (c << 8) | bits."""
+            return flags_of(*(aabb_t[r : r + 1, cols] for r in range(6)))
 
         def compact_entry(c, n):
             """Scalar compaction of cluster ``c``'s flag word into the
-            visit list. G == 1: entry = c (S == 1) or (c << 8) | bits.
-            G > 1: one entry PER flagged subgroup —
-            (c << 12) | (g << 8) | sp_bits."""
+            visit list: entry = c (S == 1) or (c << 8) | bits."""
             f = flags_smem[0, c]
-            if G == 1:
-                @pl.when(f != 0)
+
+            @pl.when(f != 0)
+            def _():
+                list_smem[0, n] = c if S == 1 else (c << 8) | f
+
+            return n + jnp.where(f != 0, 1, 0)
+
+        if n_blocks == 1:
+            flag_vmem[:, :] = detail_flags(slice(None))
+            copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
+            copy.start()
+            stage_rays()
+            copy.wait()
+            n_hit = jax.lax.fori_loop(0, C, compact_entry, 0)
+        else:
+            # Hierarchical cull for large scenes: the (R, C_pad) slab test
+            # would blow VMEM, so test CULL_BLOCK-cluster superblock unions
+            # first and only cull (and later compact) the blocks some ray
+            # may enter. (In frustum mode the flags are (1, W) rows at any
+            # scale; the hierarchy is kept for the block-scoped scalar
+            # compaction, which skips dead blocks.)
+            sbflag_vmem[:, :] = flags_of(
+                sb_aabb_t[0:1, :], sb_aabb_t[1:2, :], sb_aabb_t[2:3, :],
+                sb_aabb_t[3:4, :], sb_aabb_t[4:5, :], sb_aabb_t[5:6, :],
+            )
+            sb_copy = pltpu.make_async_copy(sbflag_vmem, sb_smem, sem)
+            sb_copy.start()
+            stage_rays()  # ride under the superblock-flag DMA
+            sb_copy.wait()
+
+            flag_vmem[:, :] = jnp.zeros((1, C_pad), jnp.int32)
+
+            def blk(b, _):
+                @pl.when(sb_smem[0, b] > 0)
                 def _():
-                    list_smem[0, n] = c if S == 1 else (c << 8) | f
-
-                return n + jnp.where(f != 0, 1, 0)
-
-            def emit_all(nn):
-                # Unrolled over subgroups; f may have bit 31 set, so test
-                # != 0 and mask after the arithmetic shift. The emitted id
-                # is the SUBGROUP-MAJOR geometry row block c*G + g.
-                for g in range(G):
-                    bits = (f >> (g * S)) & ((1 << S) - 1)
-
-                    @pl.when(bits != 0)
-                    def _(nn=nn, bits=bits, g=g):
-                        list_smem[0, nn] = ((c * G + g) << 8) | bits
-
-                    nn = nn + jnp.where(bits != 0, 1, 0)
-                return nn
-
-            return jax.lax.cond(f != 0, emit_all, lambda nn: nn, n)
-
-        # Batched MXU visits (_MXU_BATCH note at module top). At S > 1 the
-        # compaction emits PER-SUB-PACKET lists (stride C_pad inside
-        # list_smem) so each sub-packet's chunked dots gather only its own
-        # flagged clusters — no union inflation (pair work identical to
-        # the per-visit form) and no per-(block, sp) branches in the visit
-        # loop (every gathered block is known flagged).
-        batched = use_mxu and _MXU_BATCH > 1 and not _stub_mt(any_hit)
-        batched_sp = batched and S > 1
-
-        def compact_entry_sp(c, ns):
-            f = flags_smem[0, c]
-            new = []
-            for sp in range(S):
-                bit = (f >> sp) & 1
-
-                @pl.when(bit > 0)
-                def _(n_sp=ns[sp], sp=sp):
-                    list_smem[0, sp * C_pad + n_sp] = c
-
-                new.append(ns[sp] + jnp.where(bit > 0, 1, 0))
-            return tuple(new)
-
-        # Two-phase progressive cull (COSIG_PHASE2=1, frustum single-block
-        # only): phase 0 visits clusters entered at <= tau (an entry-
-        # distance split of the flagged set); phase 1 re-culls the far set
-        # against each sub-packet's worst current best-t (closest-hit) or
-        # remaining unoccluded lanes (any-hit) before visiting it. Exact:
-        # see the _PHASE2 note at module top.
-        # "shadow" restricts the split to any-hit (shadow) traversals: the
-        # host cull model shows quad-granularity ordered early-termination
-        # saves zero visits on closest-hit primaries, while the
-        # all-lanes-occluded skip has no such bound.
-        p2_on = _PHASE2 == "1" or (
-            _PHASE2 == "shadow" and any_hit
-        ) or (_PHASE2 == "closest" and not any_hit)
-        phases = 2 if (p2_on and frustum and n_blocks == 1 and G == 1) else 1
-        flags_row = entries = near = None
-        for phase in range(phases):
-
-            if n_blocks == 1:
-                if phases == 1:
-                    flag_vmem[:, :] = detail_flags(slice(None))
-                elif phase == 0:
-                    flags_row, entries = frustum_flags(
-                        aabb_t[0:1, :], aabb_t[1:2, :], aabb_t[2:3, :],
-                        aabb_t[3:4, :], aabb_t[4:5, :], aabb_t[5:6, :],
-                        with_entries=True,
+                    off = b * GB
+                    flag_vmem[:, pl.ds(off, GB)] = detail_flags(
+                        pl.ds(off, GB)
                     )
-                    ent_min = entries[0]
-                    for e in entries[1:]:
-                        ent_min = jnp.minimum(ent_min, e)
-                    # NaN-safe flagged-entry stats (padding columns are
-                    # NaN/INF; `x < INF` is False for both).
-                    fin = ent_min < INF
-                    lo = jnp.min(
-                        jnp.where(fin, ent_min, INF), axis=1, keepdims=True
-                    )
-                    hi = jnp.max(
-                        jnp.where(fin, ent_min, -INF), axis=1, keepdims=True
-                    )
-                    tau = lo + (hi - lo) * _P2_TAU
-                    near = ~(ent_min > tau)
-                    flag_vmem[:, :] = jnp.where(near, flags_row, 0)
-                else:
-                    # Far set, re-culled against phase-0 results. The
-                    # bound row is staged through best_ref (row 16) so
-                    # per-sub-packet windows are fresh aligned ref loads
-                    # (the Mosaic staging rule, see sub_rays).
-                    row0 = best_ref[0:1]
-                    if any_hit:
-                        stat = jnp.where(act_row, row0, F(1.0))
-                    else:
-                        stat = jnp.where(act_row, row0, -INF)
-                    best_ref[16:17] = stat
-                    far = None
-                    for sp in range(S):
-                        win = best_ref[16:17, sp * RS : (sp + 1) * RS]
-                        bit = (flags_row >> sp) & 1
-                        if any_hit:
-                            # Skip iff every active lane is occluded.
-                            open_sp = (
-                                jnp.min(win, axis=1, keepdims=True) < F(1.0)
-                            )
-                            kb = bit * (open_sp & ~near).astype(jnp.int32)
-                        else:
-                            # Skip iff the hull entry is strictly beyond
-                            # every lane's current best (NaN-conservative).
-                            bound = jnp.max(win, axis=1, keepdims=True)
-                            kb = bit * (
-                                (~near) & ~(entries[sp] > bound)
-                            ).astype(jnp.int32)
-                        mb = kb if sp == 0 else kb << sp
-                        far = mb if far is None else far | mb
-                    flag_vmem[:, :] = far
-                copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
-                copy.start()
-                if phase == 0:
-                    stage_rays()
-                copy.wait()
-                if batched_sp:
-                    n_hits = jax.lax.fori_loop(
-                        0, C, compact_entry_sp, (0,) * S
-                    )
-                else:
-                    n_hit = jax.lax.fori_loop(0, C, compact_entry, 0)
-            else:
-                # Hierarchical cull for large scenes: the (R, C_pad) slab test
-                # would blow VMEM, so test CULL_BLOCK-cluster superblock unions
-                # first and only cull (and later compact) the blocks some ray
-                # may enter. (In frustum mode the flags are (1, W) rows at any
-                # scale; the hierarchy is kept for the block-scoped scalar
-                # compaction, which skips dead blocks.)
-                sbflag_vmem[:, :] = flags_of(
-                    sb_aabb_t[0:1, :], sb_aabb_t[1:2, :], sb_aabb_t[2:3, :],
-                    sb_aabb_t[3:4, :], sb_aabb_t[4:5, :], sb_aabb_t[5:6, :],
+
+                return 0
+
+            jax.lax.fori_loop(0, n_blocks, blk, 0)
+
+            copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
+            copy.start()
+            copy.wait()
+
+            def sb_compact(s, n):
+                hi = jnp.minimum((s + 1) * GB, C)
+
+                return jax.lax.cond(
+                    sb_smem[0, s] > 0,
+                    lambda nn: jax.lax.fori_loop(
+                        s * GB, hi, compact_entry, nn
+                    ),
+                    lambda nn: nn,
+                    n,
                 )
-                sb_copy = pltpu.make_async_copy(sbflag_vmem, sb_smem, sem)
-                sb_copy.start()
-                stage_rays()  # ride under the superblock-flag DMA
-                sb_copy.wait()
 
-                flag_vmem[:, :] = jnp.zeros((1, C_pad), jnp.int32)
+            n_hit = jax.lax.fori_loop(0, n_blocks, sb_compact, 0)
 
-                def blk(b, _):
-                    @pl.when(sb_smem[0, b] > 0)
-                    def _():
-                        off = b * GB
-                        flag_vmem[:, pl.ds(off, GB)] = detail_flags(
-                            pl.ds(off, GB)
-                        )
+        # ---- stage 3: intersect only the hit clusters ----
+        def _cid(entry):
+            return entry if S == 1 else entry >> 8
 
-                    return 0
-
-                jax.lax.fori_loop(0, n_blocks, blk, 0)
-
-                copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
-                copy.start()
-                copy.wait()
-
-                centry = compact_entry_sp if batched_sp else compact_entry
-
-                def sb_compact(s, n):
-                    hi = jnp.minimum((s + 1) * GB, C)
-
-                    return jax.lax.cond(
-                        sb_smem[0, s] > 0,
-                        lambda nn: jax.lax.fori_loop(
-                            s * GB, hi, centry, nn
-                        ),
-                        lambda nn: nn,
-                        n,
-                    )
-
-                sb_init = (0,) * S if batched_sp else 0
-                sb_out = jax.lax.fori_loop(0, n_blocks, sb_compact, sb_init)
-                if batched_sp:
-                    n_hits = sb_out
-                else:
-                    n_hit = sb_out
-
-            # ---- stage 3: intersect only the hit clusters ----
-            def _cid(entry):
-                # (G > 1 entries carry the subgroup-major block id c*G+g.)
-                return entry if (S == 1 and G == 1) else entry >> 8
-
-            # Per-sub-packet ray-plane windows, loaded ONCE per traversal
-            # (loop-invariant across cluster visits; loading inside the visit
-            # body would re-issue 9 loads per cluster).
-            sub_rays = sub_mx = riota = None
-            if use_mxu:
-                sub_mx = (
-                    [
-                        raysmx[mxb : mxb + 64, sp * RS : (sp + 1) * RS]
-                        for sp in range(S)
-                    ]
-                    if S > 1 else [raysmx[mxb : mxb + 64, :]]
-                )
-                # Row-index tie-break operand: rows are gid-sorted at
-                # build time (clusters), so lowest tied ROW == lowest
-                # tied gid — no per-pair gid column needed. Materialized
-                # at FULL (K, R/S) shape: a (K, 1) iota broadcast against
-                # (K, w) comparisons miscompiles in larger kernel bodies
-                # (all-zero one-hot -> NaN normals; compiled-only, the
-                # same Mosaic broadcast-layout hazard class as the
-                # staged-rows rule above). Integer iota, f32 cast.
-                riota = jax.lax.broadcasted_iota(
-                    jnp.int32, (K, R // S), 0
-                ).astype(F)
-
-                def mxu_sel(out, gac_c, off, w):
-                    """Winner selection over a precomputed pair-test dot
-                    ``out`` (5K, w) for ONE cluster block — the selection
-                    half of ``mt_mxu`` (see its docstring for the full
-                    contract); split out so the batched visit loop
-                    (COSIG_MXU_BATCH) can run one tall gathered dot and
-                    then select per block on its row slices."""
-                    va, vb, vc = out[0:K], out[K : 2 * K], out[2 * K : 3 * K]
-                    s, num = out[3 * K : 4 * K], out[4 * K : 5 * K]
-                    inv_s = F(1.0) / s
-                    t = num * inv_s
-                    valid = (
-                        (jnp.abs(s) >= EPSILON)
-                        & (va * s >= F(0.0))
-                        & (vb * s >= F(0.0))
-                        & (vc * s >= F(0.0))
-                        & (t > EPSILON)
-                    )
-                    if any_hit:
-                        if w == R:
-                            mts = max_t
-                            cur = best_ref[0:1]
-                        else:
-                            mts = best_ref[15:16, off : off + w]
-                            cur = best_ref[0:1, off : off + w]
-                        occ = jnp.max(
-                            (valid & (t <= mts)).astype(F), axis=0, keepdims=True
-                        )
-                        merged = jnp.maximum(cur, occ)
-                        if w == R:
-                            best_ref[0:1] = merged
-                        else:
-                            best_ref[0:1, off : off + w] = merged
-                        return
-                    tm = jnp.where(valid, t, INF)
-                    tmin = jnp.min(tm, axis=0, keepdims=True)
-                    if os.environ.get("COSIG_MXU_OH") == "le":
-                        # A/B lever for the TPU miscompile hunt: <= is the
-                        # same boolean set as == when tmin = min(tm), but a
-                        # different compare op for Mosaic to lower.
-                        ist = tm <= tmin
-                    else:
-                        ist = tm == tmin
-                    cand = jnp.where(ist, riota, F(K))
-                    rmin = jnp.min(cand, axis=0, keepdims=True)
-                    oh = (ist & (riota == rmin)).astype(F)
-                    so3 = jnp.dot(
-                        gac_c, oh.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )  # (48, w): 3 limb blocks of the 16 attribute rows
-                    so = so3[0:16] + so3[16:32] + so3[32:48]
-                    gmin = so[0:1]
-                    # Factored winner u/v: sel(vb*inv_s) == sel(vb) *
-                    # sel(inv_s) for a one-hot mask (same two floats
-                    # multiply). inv_s MUST be zeroed on invalid rows
-                    # before the fold: s == 0 exactly (all-zero padded
-                    # slots, perpendicular triangles) — or a tiny s whose
-                    # TPU reciprocal overflows — gives inv_s = inf, and
-                    # oh * inf = NaN on the NON-winner rows poisons the
-                    # sum (the VPU path's where(valid) guard, mt() above;
-                    # this was the round-3 "NaN normals" hardware bug).
-                    # A tmin==INF "winner" (oh hot on an invalid row) then
-                    # yields u = v = 0 like the VPU path — downstream
-                    # identical either way: normal rows are only read
-                    # where hit = t < INF.
-                    inv_sv = jnp.where(valid, inv_s, F(0.0))
-                    inv_w = jnp.sum(oh * inv_sv, axis=0, keepdims=True)
-                    u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
-                    v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
-                    w_c = F(1.0) - u_c - v_c
-                    nx = w_c * so[2:3] + u_c * so[5:6] + v_c * so[8:9]
-                    ny = w_c * so[3:4] + u_c * so[6:7] + v_c * so[9:10]
-                    nz = w_c * so[4:5] + u_c * so[7:8] + v_c * so[10:11]
-                    mat_c = so[1:2]
-
-                    def bref(row):
-                        if w == R:
-                            return best_ref[row : row + 1]
-                        return best_ref[row : row + 1, off : off + w]
-
-                    def bset(row, val):
-                        if w == R:
-                            best_ref[row : row + 1] = val
-                        else:
-                            best_ref[row : row + 1, off : off + w] = val
-
-                    bt = bref(0)
-                    better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
-                    for row, new in (
-                        (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
-                    ):
-                        bset(row, jnp.where(better, new, bref(row)))
-
-                def chunk_sel(cids, n_real, mxwin, off, w):
-                    """Chunk-level batched visit (_MXU_CSEL note): gather
-                    the chunk's operand blocks PLANE-MAJOR, one
-                    (P*B*K, w) pair-test dot, ONE winner fold for the
-                    whole chunk instead of B mxu_sel calls. The
-                    cross-block tie key is the MXU-computed gid plane
-                    (exact; no riota / (K, 1) broadcast in this path).
-                    ``n_real`` masks the tail chunk's clamped duplicate
-                    blocks out of the closest-hit fold (a duplicate gid
-                    would double the one-hot); any-hit needs no mask
-                    (occlusion is idempotent). Miss lanes may carry
-                    different garbage winner attributes than the
-                    per-block form (t stays INF; downstream reads
-                    normals only where hit) — images are bit-identical."""
-                    B = len(cids)
-                    BK = B * K
-                    blocks = [geom_mx[c] for c in cids]
-                    P = 5 if any_hit else 6
-                    op = jnp.concatenate(
-                        [blk[p * K : (p + 1) * K] for p in range(P)
-                         for blk in blocks],
-                        axis=0,
-                    )  # (P*B*K, 64) bf16, plane-major
-                    out = jnp.dot(op, mxwin, preferred_element_type=jnp.float32)
-                    va, vb, vc = out[0:BK], out[BK : 2 * BK], out[2 * BK : 3 * BK]
-                    s, num = out[3 * BK : 4 * BK], out[4 * BK : 5 * BK]
-                    inv_s = F(1.0) / s
-                    t = num * inv_s
-                    valid = (
-                        (jnp.abs(s) >= EPSILON)
-                        & (va * s >= F(0.0))
-                        & (vb * s >= F(0.0))
-                        & (vc * s >= F(0.0))
-                        & (t > EPSILON)
-                    )
-                    if any_hit:
-                        if w == R:
-                            mts = max_t
-                            cur = best_ref[0:1]
-                        else:
-                            mts = best_ref[15:16, off : off + w]
-                            cur = best_ref[0:1, off : off + w]
-                        occ = jnp.max(
-                            (valid & (t <= mts)).astype(F), axis=0, keepdims=True
-                        )
-                        merged = jnp.maximum(cur, occ)
-                        if w == R:
-                            best_ref[0:1] = merged
-                        else:
-                            best_ref[0:1, off : off + w] = merged
-                        return
-                    gidm = out[5 * BK : 6 * BK]
-                    rowblk = jax.lax.broadcasted_iota(
-                        jnp.int32, (BK, w), 0
-                    ) // np.int32(K)
-                    tm = jnp.where(valid & (rowblk < n_real), t, INF)
-                    tmin = jnp.min(tm, axis=0, keepdims=True)
-                    ist = tm == tmin
-                    cand = jnp.where(ist, gidm, cl.GID_PAD)
-                    gmin = jnp.min(cand, axis=0, keepdims=True)
-                    oh = (ist & (gidm == gmin)).astype(F)
-                    gac_chunk = jnp.concatenate(
-                        [gatt[c] for c in cids], axis=1
-                    )  # (48, B*K)
-                    so3 = jnp.dot(
-                        gac_chunk, oh.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                    so = so3[0:16] + so3[16:32] + so3[32:48]
-                    # Same invalid-row inv_s guard as mxu_sel (0 * inf =
-                    # NaN poisons the one-hot fold).
-                    inv_sv = jnp.where(valid, inv_s, F(0.0))
-                    inv_w = jnp.sum(oh * inv_sv, axis=0, keepdims=True)
-                    u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
-                    v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
-                    w_c = F(1.0) - u_c - v_c
-                    nx = w_c * so[2:3] + u_c * so[5:6] + v_c * so[8:9]
-                    ny = w_c * so[3:4] + u_c * so[6:7] + v_c * so[9:10]
-                    nz = w_c * so[4:5] + u_c * so[7:8] + v_c * so[10:11]
-                    mat_c = so[1:2]
-
-                    def bref(row):
-                        if w == R:
-                            return best_ref[row : row + 1]
-                        return best_ref[row : row + 1, off : off + w]
-
-                    def bset(row, val):
-                        if w == R:
-                            best_ref[row : row + 1] = val
-                        else:
-                            best_ref[row : row + 1, off : off + w] = val
-
-                    bt = bref(0)
-                    better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
-                    for row, new in (
-                        (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
-                    ):
-                        bset(row, jnp.where(better, new, bref(row)))
-            elif S > 1:
-                sub_rays = [
-                    tuple(
-                        best_ref[r : r + 1, sp * RS : (sp + 1) * RS]
-                        for r in range(6, 15)
-                    )
+        # Per-sub-packet ray-plane windows, loaded ONCE per traversal
+        # (loop-invariant across cluster visits; loading inside the visit
+        # body would re-issue 9 loads per cluster).
+        sub_rays = sub_mx = riota = None
+        if use_mxu:
+            sub_mx = (
+                [
+                    raysmx[mxb : mxb + 64, sp * RS : (sp + 1) * RS]
                     for sp in range(S)
                 ]
+                if S > 1 else [raysmx[mxb : mxb + 64, :]]
+            )
+            # Row-index tie-break operand: rows are gid-sorted at
+            # build time (clusters), so lowest tied ROW == lowest
+            # tied gid — no per-pair gid column needed. Materialized
+            # at FULL (K, R/S) shape: a (K, 1) iota broadcast against
+            # (K, w) comparisons miscompiles in larger kernel bodies
+            # (all-zero one-hot -> NaN normals; compiled-only, the
+            # same Mosaic broadcast-layout hazard class as the
+            # staged-rows rule above). Integer iota, f32 cast.
+            riota = jax.lax.broadcasted_iota(
+                jnp.int32, (K, R // S), 0
+            ).astype(F)
 
-            if stream:
-                # Geometry lives in HBM; double-buffer each visited cluster's
-                # (K, comps) block through VMEM so the DMA for cluster i+1
-                # overlaps the intersection of cluster i.
-                def _gdma(i, slot):
-                    return pltpu.make_async_copy(
-                        geom.at[_cid(list_smem[0, i])], gbuf.at[slot], gsem.at[slot]
-                    )
-
-                # Under the "mt" measurement stub the visit body returns before
-                # any wait; starting the warm-up DMA then would leave it
-                # forever outstanding (Mosaic rejects un-awaited DMAs).
-                if not _stub_mt(any_hit):
-                    @pl.when(n_hit > 0)
-                    def _():
-                        _gdma(0, 0).start()
-
-            def visit(i, _):
-                if _stub_mt(any_hit):
-                    return 0
-                entry = list_smem[0, i]
-                if use_mxu:
-                    gmc = geom_mx[_cid(entry)]  # (5K, 64)
-                    gac = gatt[_cid(entry)]  # (48, K)
-                elif stream:
-                    slot = jax.lax.rem(i, 2)
-
-                    @pl.when(i + 1 < n_hit)
-                    def _():
-                        _gdma(i + 1, jax.lax.rem(i + 1, 2)).start()
-
-                    _gdma(i, slot).wait()
-                    g = gbuf[slot]  # (K, comps)
-                else:
-                    # (KG, comps) when G > 1 (subgroup-major geometry),
-                    # (K, comps) otherwise — a plain first-axis load in
-                    # both cases.
-                    g = geom[_cid(entry)]
-                if not use_mxu:
-                    gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
-                    nda = g[:, 6:7]
-                    gid = g[:, 35:36]
-
-                def mt_mxu(off, w, mxwin):
-                    """MXU form of ``mt``: one bf16 (5K, 64) @ (64, w)
-                    limb-split dot for the five MT planes (>= fp32-
-                    faithful, see clusters.MX_COMBOS), row-index
-                    tie-break (rows are gid-sorted), and winner-attribute
-                    selection as a (48, K) @ (K, w) one-hot contraction
-                    (exact: 0/1 mask x bf16 limbs, f32 accumulate). Same
-                    (t, gid) winner as ``mt`` for identical plane values;
-                    plane values differ from the FMA chain by dot-
-                    accumulation ULPs (compiled-TPU only, see the mxu
-                    note at the top of make_traverse). Rows [5K, 6K)
-                    (the gid plane, chunk-level selection only) are
-                    sliced off."""
-                    out = jnp.dot(
-                        gmc[0 : 5 * K], mxwin,
-                        preferred_element_type=jnp.float32,
-                    )
-                    mxu_sel(out, gac, off, w)
-
-                def mt(off, w, rays9=None):
-                    """Plücker/edge-volume intersection of this cluster's
-                    (K, w) pair grid on the lane slice [off, off+w); updates
-                    the best-hit rows on the same slice. The chain order
-                    mirrors intersect.moller_trumbore exactly. ``rays9`` is
-                    the sub-packet's pre-loaded ray-plane window tuple (see
-                    the staging note in traverse)."""
+            def mxu_sel(out, gac_c, off, w):
+                """Winner selection over a precomputed pair-test dot
+                ``out`` (5K, w) for ONE cluster block — the selection
+                half of ``mt_mxu`` (see its docstring for the full
+                contract)."""
+                va, vb, vc = out[0:K], out[K : 2 * K], out[2 * K : 3 * K]
+                s, num = out[3 * K : 4 * K], out[4 * K : 5 * K]
+                inv_s = F(1.0) / s
+                t = num * inv_s
+                valid = (
+                    (jnp.abs(s) >= EPSILON)
+                    & (va * s >= F(0.0))
+                    & (vb * s >= F(0.0))
+                    & (vc * s >= F(0.0))
+                    & (t > EPSILON)
+                )
+                if any_hit:
                     if w == R:
-                        oxs, oys, ozs = ox, oy, oz
-                        dxs, dys, dzs = dx, dy, dz
-                        wxs, wys, wzs = wx, wy, wz
+                        mts = max_t
+                        cur = best_ref[0:1]
                     else:
-                        oxs, oys, ozs, dxs, dys, dzs, wxs, wys, wzs = rays9
-                    va = (
-                        dxs * g[:, 7:8] + dys * g[:, 8:9] + dzs * g[:, 9:10]
-                        + wxs * g[:, 10:11] + wys * g[:, 11:12] + wzs * g[:, 12:13]
+                        mts = best_ref[15:16, off : off + w]
+                        cur = best_ref[0:1, off : off + w]
+                    occ = jnp.max(
+                        (valid & (t <= mts)).astype(F), axis=0, keepdims=True
                     )
-                    vb = (
-                        dxs * g[:, 13:14] + dys * g[:, 14:15] + dzs * g[:, 15:16]
-                        + wxs * g[:, 16:17] + wys * g[:, 17:18] + wzs * g[:, 18:19]
-                    )
-                    vc = (
-                        dxs * g[:, 19:20] + dys * g[:, 20:21] + dzs * g[:, 21:22]
-                        + wxs * g[:, 22:23] + wys * g[:, 23:24] + wzs * g[:, 24:25]
-                    )
-                    s = dxs * gnx + dys * gny + dzs * gnz
-                    ndo = oxs * gnx + oys * gny + ozs * gnz
-                    inv_s = F(1.0) / s
-                    t = (nda - ndo) * inv_s
-                    u = vb * inv_s
-                    v = vc * inv_s
-                    valid = (
-                        (jnp.abs(s) >= EPSILON)
-                        & (va * s >= F(0.0))
-                        & (vb * s >= F(0.0))
-                        & (vc * s >= F(0.0))
-                        & (t > EPSILON)
-                    )
-                    if any_hit:
-                        # Occlusion only: any valid hit at t <= max_t. No
-                        # winner selection / interpolation / tie-break.
-                        if w == R:
-                            mts = max_t
-                            cur = best_ref[0:1]
-                        else:
-                            mts = best_ref[15:16, off : off + w]
-                            cur = best_ref[0:1, off : off + w]
-                        occ = jnp.max(
-                            (valid & (t <= mts)).astype(F), axis=0, keepdims=True
-                        )
-                        merged = jnp.maximum(cur, occ)
-                        if w == R:
-                            best_ref[0:1] = merged
-                        else:
-                            best_ref[0:1, off : off + w] = merged
-                        return
-                    tm = jnp.where(valid, t, INF)
-                    tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, w)
-                    # Winner among equal-t rows: lowest global (soup) index —
-                    # the deterministic lexicographic (t, gid) tie-break
-                    # matching the XLA oracle's reduction order (first-
-                    # occurrence argmin over soup blocks + strict < across
-                    # blocks).
-                    cand = jnp.where(tm == tmin, gid, cl.GID_PAD)
-                    gmin = jnp.min(cand, axis=0, keepdims=True)
-                    oh = ((tm == tmin) & (gid == gmin)).astype(F)
-
-                    def sel(col):
-                        return jnp.sum(oh * col, axis=0, keepdims=True)
-
-                    u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
-                    v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
-                    w_c = F(1.0) - u_c - v_c
-                    nx = w_c * sel(g[:, 25:26]) + u_c * sel(g[:, 28:29]) + v_c * sel(g[:, 31:32])
-                    ny = w_c * sel(g[:, 26:27]) + u_c * sel(g[:, 29:30]) + v_c * sel(g[:, 32:33])
-                    nz = w_c * sel(g[:, 27:28]) + u_c * sel(g[:, 30:31]) + v_c * sel(g[:, 33:34])
-                    mat_c = sel(g[:, 34:35])
-
-                    # Lexicographic (t, gid) winner across clusters: the same
-                    # triangle pair straddling two clusters (or two triangles
-                    # sharing an edge) resolves identically in every backend.
-                    def bref(row):
-                        if w == R:
-                            return best_ref[row : row + 1]
-                        return best_ref[row : row + 1, off : off + w]
-
-                    def bset(row, val):
-                        if w == R:
-                            best_ref[row : row + 1] = val
-                        else:
-                            best_ref[row : row + 1, off : off + w] = val
-
-                    bt = bref(0)
-                    better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
-                    for row, new in (
-                        (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
-                    ):
-                        bset(row, jnp.where(better, new, bref(row)))
-
-                if use_mxu:
-                    if S == 1:
-                        mt_mxu(0, R, sub_mx[0])
+                    merged = jnp.maximum(cur, occ)
+                    if w == R:
+                        best_ref[0:1] = merged
                     else:
-                        for sp in range(S):
-                            @pl.when((((entry & 0xFF) >> sp) & 1) > 0)
-                            def _(sp=sp):
-                                mt_mxu(sp * RS, RS, sub_mx[sp])
-                elif S == 1:
-                    mt(0, R)
+                        best_ref[0:1, off : off + w] = merged
+                    return
+                tm = jnp.where(valid, t, INF)
+                tmin = jnp.min(tm, axis=0, keepdims=True)
+                if os.environ.get("COSIG_MXU_OH") == "le":
+                    # A/B lever for the TPU miscompile hunt: <= is the
+                    # same boolean set as == when tmin = min(tm), but a
+                    # different compare op for Mosaic to lower.
+                    ist = tm <= tmin
                 else:
-                    # Per-sub-packet visit bits: skip the intersection for
-                    # sub-packets whose every ray already failed the
-                    # (inflated) box test — the reference's per-ray
-                    # traversal granularity, packet-shaped
-                    # (compute:225-267). The low 8 entry bits are the
-                    # sp bits in both packings.
+                    ist = tm == tmin
+                cand = jnp.where(ist, riota, F(K))
+                rmin = jnp.min(cand, axis=0, keepdims=True)
+                oh = (ist & (riota == rmin)).astype(F)
+                so3 = jnp.dot(
+                    gac_c, oh.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )  # (48, w): 3 limb blocks of the 16 attribute rows
+                so = so3[0:16] + so3[16:32] + so3[32:48]
+                gmin = so[0:1]
+                # Factored winner u/v: sel(vb*inv_s) == sel(vb) *
+                # sel(inv_s) for a one-hot mask (same two floats
+                # multiply). inv_s MUST be zeroed on invalid rows
+                # before the fold: s == 0 exactly (all-zero padded
+                # slots, perpendicular triangles) — or a tiny s whose
+                # TPU reciprocal overflows — gives inv_s = inf, and
+                # oh * inf = NaN on the NON-winner rows poisons the
+                # sum (the VPU path's where(valid) guard, mt() above;
+                # this was the round-3 "NaN normals" hardware bug).
+                # A tmin==INF "winner" (oh hot on an invalid row) then
+                # yields u = v = 0 like the VPU path — downstream
+                # identical either way: normal rows are only read
+                # where hit = t < INF.
+                inv_sv = jnp.where(valid, inv_s, F(0.0))
+                inv_w = jnp.sum(oh * inv_sv, axis=0, keepdims=True)
+                u_c = jnp.sum(oh * vb, axis=0, keepdims=True) * inv_w
+                v_c = jnp.sum(oh * vc, axis=0, keepdims=True) * inv_w
+                w_c = F(1.0) - u_c - v_c
+                nx = w_c * so[2:3] + u_c * so[5:6] + v_c * so[8:9]
+                ny = w_c * so[3:4] + u_c * so[6:7] + v_c * so[9:10]
+                nz = w_c * so[4:5] + u_c * so[7:8] + v_c * so[10:11]
+                mat_c = so[1:2]
+
+                def bref(row):
+                    if w == R:
+                        return best_ref[row : row + 1]
+                    return best_ref[row : row + 1, off : off + w]
+
+                def bset(row, val):
+                    if w == R:
+                        best_ref[row : row + 1] = val
+                    else:
+                        best_ref[row : row + 1, off : off + w] = val
+
+                bt = bref(0)
+                better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
+                for row, new in (
+                    (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
+                ):
+                    bset(row, jnp.where(better, new, bref(row)))
+
+        elif S > 1:
+            sub_rays = [
+                tuple(
+                    best_ref[r : r + 1, sp * RS : (sp + 1) * RS]
+                    for r in range(6, 15)
+                )
+                for sp in range(S)
+            ]
+
+        if stream:
+            # Geometry lives in HBM; double-buffer each visited cluster's
+            # (K, comps) block through VMEM so the DMA for cluster i+1
+            # overlaps the intersection of cluster i.
+            def _gdma(i, slot):
+                return pltpu.make_async_copy(
+                    geom.at[_cid(list_smem[0, i])], gbuf.at[slot], gsem.at[slot]
+                )
+
+            # Under the "mt" measurement stub the visit body returns before
+            # any wait; starting the warm-up DMA then would leave it
+            # forever outstanding (Mosaic rejects un-awaited DMAs).
+            if not _stub_mt(any_hit):
+                @pl.when(n_hit > 0)
+                def _():
+                    _gdma(0, 0).start()
+
+        def visit(i, _):
+            if _stub_mt(any_hit):
+                return 0
+            entry = list_smem[0, i]
+            if use_mxu:
+                gmc = geom_mx[_cid(entry)]  # (5K, 64)
+                gac = gatt[_cid(entry)]  # (48, K)
+            elif stream:
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i + 1 < n_hit)
+                def _():
+                    _gdma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+                _gdma(i, slot).wait()
+                g = gbuf[slot]  # (K, comps)
+            else:
+                # (KG, comps) when G > 1 (subgroup-major geometry),
+                # (K, comps) otherwise — a plain first-axis load in
+                # both cases.
+                g = geom[_cid(entry)]
+            if not use_mxu:
+                gnx, gny, gnz = g[:, 3:4], g[:, 4:5], g[:, 5:6]
+                nda = g[:, 6:7]
+                gid = g[:, 35:36]
+
+            def mt_mxu(off, w, mxwin):
+                """MXU form of ``mt``: one bf16 (5K, 64) @ (64, w)
+                limb-split dot for the five MT planes (>= fp32-
+                faithful, see clusters.MX_COMBOS), row-index
+                tie-break (rows are gid-sorted), and winner-attribute
+                selection as a (48, K) @ (K, w) one-hot contraction
+                (exact: 0/1 mask x bf16 limbs, f32 accumulate). Same
+                (t, gid) winner as ``mt`` for identical plane values;
+                plane values differ from the FMA chain by dot-
+                accumulation ULPs (compiled-TPU only, see the mxu
+                note at the top of make_traverse). Rows [5K, 6K)
+                (the gid plane, chunk-level selection only) are
+                sliced off."""
+                out = jnp.dot(
+                    gmc[0 : 5 * K], mxwin,
+                    preferred_element_type=jnp.float32,
+                )
+                mxu_sel(out, gac, off, w)
+
+            def mt(off, w, rays9=None):
+                """Plücker/edge-volume intersection of this cluster's
+                (K, w) pair grid on the lane slice [off, off+w); updates
+                the best-hit rows on the same slice. The chain order
+                mirrors intersect.moller_trumbore exactly. ``rays9`` is
+                the sub-packet's pre-loaded ray-plane window tuple (see
+                the staging note in traverse)."""
+                if w == R:
+                    oxs, oys, ozs = ox, oy, oz
+                    dxs, dys, dzs = dx, dy, dz
+                    wxs, wys, wzs = wx, wy, wz
+                else:
+                    oxs, oys, ozs, dxs, dys, dzs, wxs, wys, wzs = rays9
+                va = (
+                    dxs * g[:, 7:8] + dys * g[:, 8:9] + dzs * g[:, 9:10]
+                    + wxs * g[:, 10:11] + wys * g[:, 11:12] + wzs * g[:, 12:13]
+                )
+                vb = (
+                    dxs * g[:, 13:14] + dys * g[:, 14:15] + dzs * g[:, 15:16]
+                    + wxs * g[:, 16:17] + wys * g[:, 17:18] + wzs * g[:, 18:19]
+                )
+                vc = (
+                    dxs * g[:, 19:20] + dys * g[:, 20:21] + dzs * g[:, 21:22]
+                    + wxs * g[:, 22:23] + wys * g[:, 23:24] + wzs * g[:, 24:25]
+                )
+                s = dxs * gnx + dys * gny + dzs * gnz
+                ndo = oxs * gnx + oys * gny + ozs * gnz
+                inv_s = F(1.0) / s
+                t = (nda - ndo) * inv_s
+                u = vb * inv_s
+                v = vc * inv_s
+                valid = (
+                    (jnp.abs(s) >= EPSILON)
+                    & (va * s >= F(0.0))
+                    & (vb * s >= F(0.0))
+                    & (vc * s >= F(0.0))
+                    & (t > EPSILON)
+                )
+                if any_hit:
+                    # Occlusion only: any valid hit at t <= max_t. No
+                    # winner selection / interpolation / tie-break.
+                    if w == R:
+                        mts = max_t
+                        cur = best_ref[0:1]
+                    else:
+                        mts = best_ref[15:16, off : off + w]
+                        cur = best_ref[0:1, off : off + w]
+                    occ = jnp.max(
+                        (valid & (t <= mts)).astype(F), axis=0, keepdims=True
+                    )
+                    merged = jnp.maximum(cur, occ)
+                    if w == R:
+                        best_ref[0:1] = merged
+                    else:
+                        best_ref[0:1, off : off + w] = merged
+                    return
+                tm = jnp.where(valid, t, INF)
+                tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, w)
+                # Winner among equal-t rows: lowest global (soup) index —
+                # the deterministic lexicographic (t, gid) tie-break
+                # matching the XLA oracle's reduction order (first-
+                # occurrence argmin over soup blocks + strict < across
+                # blocks).
+                cand = jnp.where(tm == tmin, gid, cl.GID_PAD)
+                gmin = jnp.min(cand, axis=0, keepdims=True)
+                oh = ((tm == tmin) & (gid == gmin)).astype(F)
+
+                def sel(col):
+                    return jnp.sum(oh * col, axis=0, keepdims=True)
+
+                u_c = jnp.sum(oh * jnp.where(valid, u, F(0.0)), axis=0, keepdims=True)
+                v_c = jnp.sum(oh * jnp.where(valid, v, F(0.0)), axis=0, keepdims=True)
+                w_c = F(1.0) - u_c - v_c
+                nx = w_c * sel(g[:, 25:26]) + u_c * sel(g[:, 28:29]) + v_c * sel(g[:, 31:32])
+                ny = w_c * sel(g[:, 26:27]) + u_c * sel(g[:, 29:30]) + v_c * sel(g[:, 32:33])
+                nz = w_c * sel(g[:, 27:28]) + u_c * sel(g[:, 30:31]) + v_c * sel(g[:, 33:34])
+                mat_c = sel(g[:, 34:35])
+
+                # Lexicographic (t, gid) winner across clusters: the same
+                # triangle pair straddling two clusters (or two triangles
+                # sharing an edge) resolves identically in every backend.
+                def bref(row):
+                    if w == R:
+                        return best_ref[row : row + 1]
+                    return best_ref[row : row + 1, off : off + w]
+
+                def bset(row, val):
+                    if w == R:
+                        best_ref[row : row + 1] = val
+                    else:
+                        best_ref[row : row + 1, off : off + w] = val
+
+                bt = bref(0)
+                better = (tmin < bt) | ((tmin == bt) & (gmin < bref(5)))
+                for row, new in (
+                    (0, tmin), (1, nx), (2, ny), (3, nz), (4, mat_c), (5, gmin),
+                ):
+                    bset(row, jnp.where(better, new, bref(row)))
+
+            if use_mxu:
+                if S == 1:
+                    mt_mxu(0, R, sub_mx[0])
+                else:
                     for sp in range(S):
                         @pl.when((((entry & 0xFF) >> sp) & 1) > 0)
                         def _(sp=sp):
-                            mt(sp * RS, RS, sub_rays[sp])
-                return 0
+                            mt_mxu(sp * RS, RS, sub_mx[sp])
+            elif S == 1:
+                mt(0, R)
+            else:
+                # Per-sub-packet visit bits: skip the intersection for
+                # sub-packets whose every ray already failed the
+                # (inflated) box test — the reference's per-ray
+                # traversal granularity, packet-shaped
+                # (compute:225-267). The low 8 entry bits are the
+                # sp bits in both packings.
+                for sp in range(S):
+                    @pl.when((((entry & 0xFF) >> sp) & 1) > 0)
+                    def _(sp=sp):
+                        mt(sp * RS, RS, sub_rays[sp])
+            return 0
 
-            if not _stub_visit(any_hit):
-                if batched_sp:
-                    # Batched visits, per-sub-packet lists (_MXU_BATCH /
-                    # compact_entry_sp notes): for each sub-packet, chunk
-                    # ITS list, gather the chunk's operand blocks, ONE
-                    # tall pair-test dot against the sub-packet's ray
-                    # window, per-block selection on the dot's row slices
-                    # — branch-free (every gathered block is flagged).
-                    # Tail chunks clamp to n_sp-1; duplicate visits are
-                    # no-ops under both folds.
-                    BAT = _MXU_BATCH
-                    for sp in range(S):
-                        n_sp = n_hits[sp]
-
-                        def visit_chunk_sp(ci, _, sp=sp, n_sp=n_sp):
-                            base = ci * BAT
-                            cids = [
-                                list_smem[
-                                    0,
-                                    sp * C_pad
-                                    + jnp.minimum(base + b, n_sp - 1),
-                                ]
-                                for b in range(BAT)
-                            ]
-                            if _MXU_CSEL:
-                                chunk_sel(
-                                    cids, n_sp - base, sub_mx[sp],
-                                    sp * RS, RS,
-                                )
-                                return 0
-                            op = jnp.concatenate(
-                                [geom_mx[c][0 : 5 * K] for c in cids], axis=0
-                            )  # (BAT*5K, 64) bf16
-                            gacs = [gatt[c] for c in cids]
-                            outw = jnp.dot(
-                                op, sub_mx[sp],
-                                preferred_element_type=jnp.float32,
-                            )  # (BAT*5K, R/S)
-                            for b in range(BAT):
-                                mxu_sel(
-                                    outw[b * 5 * K : (b + 1) * 5 * K],
-                                    gacs[b], sp * RS, RS,
-                                )
-                            return 0
-
-                        jax.lax.fori_loop(
-                            0, (n_sp + BAT - 1) // BAT, visit_chunk_sp, 0
-                        )
-                elif batched:
-                    # S == 1: one whole-packet list, same chunked form.
-                    BAT = _MXU_BATCH
-
-                    def visit_chunk(ci, _):
-                        base = ci * BAT
-                        cids = [
-                            _cid(list_smem[0, jnp.minimum(base + b, n_hit - 1)])
-                            for b in range(BAT)
-                        ]
-                        if _MXU_CSEL:
-                            chunk_sel(cids, n_hit - base, sub_mx[0], 0, R)
-                            return 0
-                        op = jnp.concatenate(
-                            [geom_mx[c][0 : 5 * K] for c in cids], axis=0
-                        )
-                        gacs = [gatt[c] for c in cids]
-                        outw = jnp.dot(
-                            op, sub_mx[0], preferred_element_type=jnp.float32
-                        )
-                        for b in range(BAT):
-                            mxu_sel(
-                                outw[b * 5 * K : (b + 1) * 5 * K],
-                                gacs[b], 0, R,
-                            )
-                        return 0
-
-                    n_chunk = (n_hit + BAT - 1) // BAT
-                    jax.lax.fori_loop(0, n_chunk, visit_chunk, 0)
-                else:
-                    jax.lax.fori_loop(0, n_hit, visit, 0)
+        if not _stub_visit(any_hit):
+            jax.lax.fori_loop(0, n_hit, visit, 0)
 
         # ---- analytic primitive fold (optional) ----
         def _prim_fold(p, gid_val, tp, nxw, nyw, nzw, valid):

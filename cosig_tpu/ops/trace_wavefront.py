@@ -525,11 +525,6 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
     associative/commutative min over the identical pair set), so mixing
     cluster sizes across stages is exact.
 
-    When the stage qualifies for subgroup visits (COSIG_SUBG, frustum,
-    unstreamed), the geometry is passed SUBGROUP-MAJOR — a free reshape
-    to (C*G, K/G, comps) so each visit is a plain first-axis load
-    (kernel_core packing note).
-
     ``mxu`` (default on, COSIG_MXU=0 disables): compiled-on-TPU stages
     route the pair tests through the MXU (kernel_core mt_mxu) using the
     packed matmul operands; the 36-col geometry is then replaced by a
@@ -541,22 +536,20 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
     the VPU pair test while closest-hit traversals use the MXU; the real
     geometry stays resident next to the matmul operands. The dims tuple
     then carries mxu=2 (1 = MXU everywhere, 0 = off)."""
-    from cosig_tpu.ops import kernel_core as _kc
-
     C, K = cset.num_clusters, cset.k
     C_pad = int(cset.aabb_t.shape[1])
     n_subg = cset.subgroups
     if stream is None:
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
-    subg = _kc._SUBG and frustum and not stream and n_subg > 1
-    # Default OFF: the MXU path miscompiles on TPU when closest-hit +
-    # shadow + secondary blocks coexist (NaN winner normals; under
-    # investigation — interpret/CPU is clean). Flip the default once the
-    # hardware gate (tools/r3_sweep.py stageM + /tmp-style mode probes)
-    # is green.
-    mxu_env = _os.environ.get("COSIG_MXU", "0")
+    # MXU traversal is correct on hardware (STATUS "MXU traversal —
+    # FIXED") and measured faster on BOTH bench configs in the round-4
+    # same-window sweeps (large_mesh K64: 236.6 -> 176.7 ms, +34 %;
+    # glass K32: 42.6 -> 41.8 ms, ~+2 %), so it is now the compiled-TPU
+    # default for unstreamed stages. COSIG_MXU=0 reverts to the VPU pair
+    # test (images differ by dot-accumulation ULPs only).
+    mxu_env = _os.environ.get("COSIG_MXU", "1")
     mxu = (
-        not stream and not subg
+        not stream
         and cset.geom_mx is not None
         and mxu_env != "0"
         # "force" enables under interpret for CPU validation of the MXU
@@ -570,8 +563,6 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
     if stream:
         # HBM slices DMA'd per cluster need a 128-aligned last dim.
         geom_in = jnp.pad(cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS)))
-    elif subg:
-        geom_in = cset.geom.reshape(C * n_subg, K // n_subg, cl.GEOM_COMPS)
     if mxu == 1:
         geom_in = jnp.zeros((1, 8, 128), jnp.float32)  # unread dummy
         mx_in, att_in = cset.geom_mx, cset.gatt
@@ -584,16 +575,8 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
         pltpu.VMEM((18, R), jnp.float32),  # best-hit rows + staged rays + p2 bound
         pltpu.VMEM((1, C_pad), jnp.int32),
         pltpu.SMEM((1, C_pad), jnp.int32),
-        # Visit list: up to G entries per cluster at subgroup granularity;
-        # batched MXU visits at S > 1 (kernel_core._MXU_BATCH) keep S
-        # per-sub-packet lists at stride C_pad.
-        pltpu.SMEM(
-            (1, C_pad * max(
-                1, n_subg,
-                _subpackets_for(R) if (mxu and _kc._MXU_BATCH > 1) else 1,
-            )),
-            jnp.int32,
-        ),
+        # Visit list: one entry per flagged cluster.
+        pltpu.SMEM((1, C_pad), jnp.int32),
         pltpu.SemaphoreType.DMA,
         pltpu.VMEM((1, 128), jnp.int32),
         pltpu.SMEM((1, 128), jnp.int32),

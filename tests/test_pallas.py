@@ -522,46 +522,6 @@ def test_wavefront_mxu_path(scene1, monkeypatch):
     mix, r2 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
     assert float(r1) == float(r2)
     np.testing.assert_array_equal(np.asarray(mix), np.asarray(mxu))
-    # Batched visits (COSIG_MXU_BATCH, default chunk-level selection):
-    # chunked gathered dots must be EXACTLY the per-visit MXU result —
-    # the same pair set; the chunk fold's gid-plane tie key equals the
-    # per-visit (t, gid) rule (kernel_core._MXU_BATCH / _MXU_CSEL notes).
-    monkeypatch.delenv("COSIG_MXU_SHADOW", raising=False)
-    from cosig_tpu.ops import kernel_core
-    monkeypatch.setattr(kernel_core, "_MXU_BATCH", 4)
-    bimg, rb = trace_wavefront.render_wavefront(
-        cs, params, cfg, interpret=True
-    )
-    assert float(rb) == float(r1)
-    np.testing.assert_array_equal(np.asarray(bimg), np.asarray(mxu))
-
-
-@pytest.mark.slow
-def test_wavefront_mxu_batch_variants(scene1, monkeypatch):
-    """Batched-visit variants beyond the fast gate: B=8 chunk-level and
-    the per-block mxu_sel A/B form (COSIG_MXU_CSEL=0) — all bit-equal to
-    the per-visit MXU image (duplicate tail visits are no-ops under both
-    folds)."""
-    from cosig_tpu.ops import kernel_core, trace_wavefront
-
-    st = cosig_tpu.RenderSettings(
-        resolution_override=(64, 64), max_depth=3, aa_samples=2,
-        enable_soft_shadows=True,
-    )
-    arrays = compile_scene(scene1)
-    params = frame_params(scene1, st)
-    cfg = static_config(scene1, st)
-    cs = build_clusters(arrays, k=32)
-    monkeypatch.setenv("COSIG_MXU", "force")
-    mxu, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    for bat, csel in ((8, True), (4, False)):
-        monkeypatch.setattr(kernel_core, "_MXU_BATCH", bat)
-        monkeypatch.setattr(kernel_core, "_MXU_CSEL", csel)
-        bimg, rb = trace_wavefront.render_wavefront(
-            cs, params, cfg, interpret=True
-        )
-        assert float(rb) == float(r1)
-        np.testing.assert_array_equal(np.asarray(bimg), np.asarray(mxu))
 
 
 @pytest.mark.parametrize("tr", [2048, 8192, 16384])
@@ -583,27 +543,6 @@ def test_wavefront_tile_rays_exact(scene1, tr):
     np.testing.assert_allclose(
         np.asarray(img), np.asarray(base), atol=2e-6
     )
-
-
-def test_subgroup_culling_exact(scene1, monkeypatch):
-    """COSIG_SUBG=1 (second cluster level: sub-AABB visit granularity)
-    must be BIT-exact: sub-box culling is conservative and the winner
-    fold is order/partition-invariant."""
-    import importlib
-
-    from cosig_tpu.ops import kernel_core, trace_wavefront
-
-    st = cosig_tpu.RenderSettings(resolution_override=(32, 32), max_depth=3)
-    arrays = compile_scene(scene1)
-    params = frame_params(scene1, st)
-    cfg = static_config(scene1, st)
-    cs = build_clusters(arrays)
-    assert cs.subgroups == 4
-    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    monkeypatch.setattr(kernel_core, "_SUBG", True)
-    img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    assert float(r0) == float(r1)
-    assert np.abs(np.asarray(img) - np.asarray(base)).max() == 0.0
 
 
 def test_wavefront_meanfirst_exact(scene1, monkeypatch):

@@ -36,26 +36,13 @@ MODES = {
     "full": {"COSIG_MXU": "1"},
     "full-oh": {"COSIG_MXU": "1", "COSIG_MXU_OH": "le"},
     "full-rows": {"COSIG_MXU": "1", "COSIG_MXU_STAGE": "rows"},
-    "mixed-b4": {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0",
-                 "COSIG_MXU_BATCH": "4"},
-    "full-b4": {"COSIG_MXU": "1", "COSIG_MXU_BATCH": "4"},
-    "mixed-b8": {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0",
-                 "COSIG_MXU_BATCH": "8"},
-    # Per-block selection A/B (CSEL=0) under batch, for triage if the
-    # chunk-level default behaves differently from per-visit on TPU.
-    "full-b4-pb": {"COSIG_MXU": "1", "COSIG_MXU_BATCH": "4",
-                   "COSIG_MXU_CSEL": "0"},
-    "mixed-b4-pb": {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0",
-                    "COSIG_MXU_BATCH": "4", "COSIG_MXU_CSEL": "0"},
+    # (batched-visit modes removed with the COSIG_MXU_BATCH prune.)
     # Kernel fission: every kernel stays in the verified two-of-three
     # block set — the designed dodge for the fused-kernel miscompile.
     "fission-full": {"COSIG_WF_FISSION": "1", "COSIG_MXU": "1"},
-    "fission-full-b4": {"COSIG_WF_FISSION": "1", "COSIG_MXU": "1",
-                        "COSIG_MXU_BATCH": "4"},
     "fission-base": {"COSIG_WF_FISSION": "1", "COSIG_MXU": "0"},
 }
-DEFAULT_MODES = ("base", "mixed", "mixed-b4", "full", "fission-full",
-                 "fission-full-b4")
+DEFAULT_MODES = ("base", "mixed", "full", "fission-full")
 
 
 def child(args):

@@ -28,6 +28,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(os.path.dirname(__file__), "r4_sweep_results.jsonl")
 R3 = os.path.join(REPO, ".r3")  # round-3 close worktree (817ca4c)
+# Frozen snapshot worktree for "new code" rows: live edits to the repo
+# while a sweep is running broke a whole stage once (the bench
+# subprocesses import whatever is on disk at row start). Create with
+#   git worktree add .r4snap HEAD --detach   (refresh: git -C .r4snap
+#   checkout --detach <commit>)
+# and rows run there when it exists; REPO is the fallback.
+SNAP = os.path.join(REPO, ".r4snap")
+NEW_CWD = SNAP if os.path.isdir(SNAP) else REPO
 
 # (label, config, env, cwd) — cwd None = repo (new code), R3 = old code.
 STAGES = {
@@ -110,16 +118,18 @@ def run_one(label: str, config: str, env_extra: dict, cwd=None) -> dict:
         [sys.executable, "bench.py", "--config", config,
          "--backend", "wavefront", "--emit-details"],
         capture_output=True, text=True, timeout=2400, env=env,
-        cwd=cwd or REPO,
+        cwd=cwd or NEW_CWD,
     )
     line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
     try:
         rec = json.loads(line)
     except json.JSONDecodeError:
         rec = {"error": (out.stderr or out.stdout)[-400:]}
+    if "ms_per_frame" not in rec and "error" not in rec:
+        rec["error"] = (out.stderr or out.stdout)[-400:] or "empty output"
     rec.update(label=label, env=env_extra, wall_s=round(time.time() - t0, 1),
                ts=time.strftime("%H:%M:%S"),
-               code="r3" if cwd else "r4")
+               code="r3" if cwd == R3 else "r4")
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     keys = ("ms_per_frame", "mrays_per_s", "compile_s", "image_mean")
