@@ -15,6 +15,11 @@ tile are dead. This module restructures the pipeline the wavefront way
    cost proportional to the number of *live* rays, not pixels;
 4. final scatter: per-ray colors accumulate back to pixels by ray id.
 
+Steps 2-4 have a zero-copy alternative (COSIG_WF_SELFSKIP, see the
+_SELFSKIP note): state stays in pixel order, the bounce grid covers all
+tiles, and dead tiles skip their own state DMA off an SMEM alive
+bitmap — no sort, no gathers, no prefix ladder, bit-identical images.
+
 Ray state layout (f32 rows x N rays; kernel_core ROW_* contract):
 0-2 origin, 3-5 direction, 6-8 attenuation, 9-11 color, 12 alive,
 13 rays-traced count, 14 ray id, 15 pad (8-row tiling; fission mode
@@ -139,6 +144,23 @@ _REC0 = 15
 # contiguous reshape — the delta is the untranspose cost.
 _NOCOMPACT = _os.environ.get("COSIG_WF_NOCOMPACT") == "1"
 _NOUNT = _os.environ.get("COSIG_WF_NOUNT") == "1"
+
+# Self-skipping bounce dispatch (COSIG_WF_SELFSKIP=1, compiled only):
+# instead of compacting alive rays to a dense prefix (octant sort +
+# group gather + prefix-ladder dispatch + final inverse gather), leave
+# the state in pixel order forever and dispatch the bounce grid over ALL
+# tiles every depth. The state rides in HBM (unblocked operands); each
+# grid step reads one bit of a per-tile alive bitmap (computed by one
+# cheap XLA reduction over the alive row) from SMEM and DEAD TILES SKIP
+# THEIR ENTIRE STATE DMA — a dead tile costs one scalar test instead of
+# a 2x(SROWS, R) block round-trip. Removes the whole compaction floor
+# (sort + LIVE_ROWS-row gather + inverse gather, ~7-9 ms on glass) and
+# collapses the prefix ladder to ONE Mosaic payload (compile time).
+# Bit-identical to the compaction path: per-lane arithmetic never
+# depends on tile order, culls are conservative supersets, and the
+# (t, gid) winner fold is visit-order/partition invariant (same
+# argument as the tile_rays/cset-granularity gates).
+_SELFSKIP = _os.environ.get("COSIG_WF_SELFSKIP") == "1"
 
 # Mean-first finalization (default on; COSIG_WF_MEANFIRST=0 reverts):
 # average the AA samples INSIDE each compaction group BEFORE the inverse
@@ -386,7 +408,8 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
 
 def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                         prim_counts=(0, 0), subpackets=1, R=R,
-                        mode="fused", decode=None, sh_dims=None):
+                        mode="fused", decode=None, sh_dims=None,
+                        selfskip=False):
     """ONE bounce executable for every depth: the bounce index and the
     final-bounce flag are SMEM uniforms (U_DEPTH / U_LAST), not trace-time
     constants — cutting the wavefront compile ladder from
@@ -409,6 +432,84 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
     # measure before enabling (default off).
     bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
 
+    def body(state, uniforms, mats, lights, prims, aabb_t, sb_aabb_t,
+             sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
+             sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
+             list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
+             sh_flag_vmem, sh_flags_smem, sh_list_smem):
+        """One bounce on ``state`` (a (SROWS, R) VMEM ref), shared by the
+        blocked and self-skip kernel forms below."""
+        if cfg.enable_soft_shadows or cfg.enable_glossy:
+            # The RNG needs per-ray seed planes: re-derive them from
+            # the ray-id row (bitwise-equal to the primary's values).
+            px, py, s_plane = _decode_rid(state[14:15], uniforms, decode)
+        else:
+            # Unused by bounce_core when both DRT effects are off —
+            # dead operands, eliminated at compile.
+            px = py = s_plane = jnp.zeros((1, R), F)
+        traverse = make_traverse(
+            aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
+            list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
+            gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
+            prims=prims, n_sph=n_sph, n_box=n_box,
+            sub_aabb_t=sub_aabb_t, subgroups=n_subg,
+            geom_mx=geom_mx if mxu else None,
+            gatt=gatt if mxu else None, raysmx=raysmx,
+            mxu_anyhit=mxu != 2,
+            frustum=bounce_frustum,
+        )
+        traverse_shadow = _make_shadow_traverse(
+            sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
+            best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
+            sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
+            frustum=bounce_frustum,
+        )
+        if mode == "trace":
+            _rec_store(state, bounce_trace(traverse, state))
+        else:
+            bounce_core(
+                cfg, uniforms, mats, lights, traverse, state, M, L,
+                px, py, s_plane, uniforms[U_DEPTH],
+                is_last=uniforms[U_LAST],
+                rec=_rec_load(state) if mode == "shade" else None,
+                traverse_shadow=traverse_shadow,
+            )
+
+    if selfskip:
+        def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t,
+                   sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
+                   sh_sub_aabb_t, sh_geom, alive_bm, state_in, state_out,
+                   best_ref, flag_vmem, flags_smem, list_smem, sem,
+                   sbflag_vmem, sb_smem, gbuf, gsem, raysmx, sh_flag_vmem,
+                   sh_flags_smem, sh_list_smem, st_vmem, ssem):
+            # Self-skip form (_SELFSKIP note): state_in/state_out are the
+            # FULL (SROWS, n_pad) array as unblocked HBM operands (aliased
+            # in place); ``alive_bm`` is the per-tile alive bitmap in
+            # SMEM. A dead tile's bytes are never moved — one scalar test
+            # and the grid step is over.
+            tile = pl.program_id(0)
+
+            @pl.when(alive_bm[0, tile] > 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    state_in.at[:, pl.ds(tile * R, R)], st_vmem, ssem
+                )
+                cp.start()
+                cp.wait()
+                body(st_vmem, uniforms, mats, lights, prims, aabb_t,
+                     sb_aabb_t, sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t,
+                     sh_sb_aabb_t, sh_sub_aabb_t, sh_geom, best_ref,
+                     flag_vmem, flags_smem, list_smem, sem, sbflag_vmem,
+                     sb_smem, gbuf, gsem, raysmx, sh_flag_vmem,
+                     sh_flags_smem, sh_list_smem)
+                cpo = pltpu.make_async_copy(
+                    st_vmem, state_out.at[:, pl.ds(tile * R, R)], ssem
+                )
+                cpo.start()
+                cpo.wait()
+
+        return kernel
+
     def kernel(uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state_in, state_out, best_ref, flag_vmem,
@@ -423,42 +524,11 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
 
         @pl.when(any_alive)
         def _():
-            if cfg.enable_soft_shadows or cfg.enable_glossy:
-                # The RNG needs per-ray seed planes: re-derive them from
-                # the ray-id row (bitwise-equal to the primary's values).
-                px, py, s_plane = _decode_rid(state[14:15], uniforms, decode)
-            else:
-                # Unused by bounce_core when both DRT effects are off —
-                # dead operands, eliminated at compile.
-                px = py = s_plane = jnp.zeros((1, R), F)
-            traverse = make_traverse(
-                aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
-                list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
-                gbuf=gbuf, gsem=gsem, stream=stream, subpackets=subpackets,
-                prims=prims, n_sph=n_sph, n_box=n_box,
-                sub_aabb_t=sub_aabb_t, subgroups=n_subg,
-                geom_mx=geom_mx if mxu else None,
-                gatt=gatt if mxu else None, raysmx=raysmx,
-                mxu_anyhit=mxu != 2,
-                frustum=bounce_frustum,
-            )
-            traverse_shadow = _make_shadow_traverse(
-                sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
-                best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
-                sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
-                frustum=bounce_frustum,
-            )
-            if mode == "trace":
-                _rec_store(state, bounce_trace(traverse, state))
-            else:
-                bounce_core(
-                    cfg, uniforms, mats, lights, traverse, state, M, L,
-                    px, py, s_plane, uniforms[U_DEPTH],
-                    is_last=uniforms[U_LAST],
-                    rec=_rec_load(state) if mode == "shade" else None,
-                    traverse_shadow=traverse_shadow,
-                )
-
+            body(state, uniforms, mats, lights, prims, aabb_t, sb_aabb_t,
+                 sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
+                 sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
+                 list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
+                 sh_flag_vmem, sh_flags_smem, sh_list_smem)
 
     return kernel
 
@@ -808,6 +878,7 @@ def render_wavefront(
     lv_arr = jnp.array(levels, jnp.int32)
     group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
 
+    selfskip = _SELFSKIP and not interpret
     if cfg.max_depth > 1:
         # Bounce-stage tile/sub-packet experiment knobs: COSIG_WF_RB sets
         # the bounce tile size (must divide the primary tile; default =
@@ -822,12 +893,13 @@ def render_wavefront(
         assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)
         kernels = (
             [_make_bounce_kernel(cfg, dims, stream, prim_counts, Sb, Rb,
-                                 mode=m, decode=decode, sh_dims=sh_dims)
+                                 mode=m, decode=decode, sh_dims=sh_dims,
+                                 selfskip=selfskip)
              for m in ("trace", "shade")]
             if fission
             else [_make_bounce_kernel(cfg, dims, stream, prim_counts,
                                       Sb, Rb, decode=decode,
-                                      sh_dims=sh_dims)]
+                                      sh_dims=sh_dims, selfskip=selfskip)]
         )
         b_scratch = (
             scratch if Rb == R
@@ -835,23 +907,94 @@ def render_wavefront(
                                   interpret=interpret)[3] + sh_scratch
         )
 
-        def run_prefix(st, uni_d, pt):
-            # Compiled: the full state array is passed through with the
-            # state input ALIASED to the output (index len(geom_specs) =
-            # the state operand) and the grid covering only the prefix
-            # tiles — tiles beyond the prefix keep their bytes in place
-            # (it is literally the same buffer). The old form sliced the
-            # prefix out and dynamic_update_slice'd it back: two extra
-            # full-prefix HBM copy passes per bounce, pure floor.
-            # Interpret mode keeps the slice/update form (its aliasing
-            # semantics for grid-uncovered output regions are not
-            # trustworthy; perf is irrelevant there) — the math is
-            # identical either way.
-            if interpret:
-                P = pt * R
-                sub = jax.lax.slice(st, (0, 0), (SROWS, P))
+        if selfskip:
+            # ---- self-skip dispatch (_SELFSKIP note): no compaction, no
+            # prefix ladder — ONE executable per bounce kernel, grid over
+            # all tiles, dead tiles skip their state DMA via the SMEM
+            # alive bitmap. group_perm stays identity (state never moves),
+            # so the final inverse gather is skipped too. ----
+            nbk = n_pad // Rb
+            ss_scratch = b_scratch + [
+                pltpu.VMEM((SROWS, Rb), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
+
+            def one_bounce_ss(st, uni_d):
+                alive_bm = (
+                    (st[12].reshape(nbk, Rb) > F(0.5)).any(axis=1)
+                    .astype(jnp.int32).reshape(1, nbk)
+                )
                 for kn in kernels:
-                    sub = pl.pallas_call(
+                    st = pl.pallas_call(
+                        kn,
+                        grid=(nbk,),
+                        in_specs=geom_specs + [
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            pl.BlockSpec(memory_space=pltpu.HBM),
+                        ],
+                        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+                        out_shape=jax.ShapeDtypeStruct(
+                            (SROWS, n_pad), jnp.float32
+                        ),
+                        scratch_shapes=ss_scratch,
+                        input_output_aliases={len(geom_specs) + 1: 0},
+                        compiler_params=COMPILER_PARAMS,
+                    )(uni_d, cset.mats, lights, prims, cset.aabb_t,
+                      cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins,
+                      *sh_inputs, alive_bm, st)
+                return st
+
+            def depth_body_ss(depth, st):
+                uni_d = (
+                    uniforms.at[U_DEPTH].set(depth.astype(jnp.float32))
+                    .at[U_LAST].set(
+                        (depth == cfg.max_depth - 1).astype(jnp.float32)
+                    )
+                )
+                return one_bounce_ss(st, uni_d)
+
+            if _os.environ.get("COSIG_WF_LOOP") == "py":
+                for depth in range(1, cfg.max_depth):
+                    state = depth_body_ss(jnp.int32(depth), state)
+            else:
+                state = jax.lax.fori_loop(
+                    1, cfg.max_depth, depth_body_ss, state
+                )
+        else:
+            def run_prefix(st, uni_d, pt):
+                # Compiled: the full state array is passed through with the
+                # state input ALIASED to the output (index len(geom_specs) =
+                # the state operand) and the grid covering only the prefix
+                # tiles — tiles beyond the prefix keep their bytes in place
+                # (it is literally the same buffer). The old form sliced the
+                # prefix out and dynamic_update_slice'd it back: two extra
+                # full-prefix HBM copy passes per bounce, pure floor.
+                # Interpret mode keeps the slice/update form (its aliasing
+                # semantics for grid-uncovered output regions are not
+                # trustworthy; perf is irrelevant there) — the math is
+                # identical either way.
+                if interpret:
+                    P = pt * R
+                    sub = jax.lax.slice(st, (0, 0), (SROWS, P))
+                    for kn in kernels:
+                        sub = pl.pallas_call(
+                            kn,
+                            grid=(pt * (R // Rb),),
+                            in_specs=geom_specs
+                            + [pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
+                                            memory_space=pltpu.VMEM)],
+                            out_specs=pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
+                                                   memory_space=pltpu.VMEM),
+                            out_shape=jax.ShapeDtypeStruct((SROWS, P), jnp.float32),
+                            scratch_shapes=b_scratch,
+                            interpret=interpret,
+                            compiler_params=COMPILER_PARAMS,
+                        )(uni_d, cset.mats, lights, prims, cset.aabb_t,
+                          cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins,
+                          *sh_inputs, sub)
+                    return jax.lax.dynamic_update_slice(st, sub, (0, 0))
+                for kn in kernels:
+                    st = pl.pallas_call(
                         kn,
                         grid=(pt * (R // Rb),),
                         in_specs=geom_specs
@@ -859,96 +1002,79 @@ def render_wavefront(
                                         memory_space=pltpu.VMEM)],
                         out_specs=pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
                                                memory_space=pltpu.VMEM),
-                        out_shape=jax.ShapeDtypeStruct((SROWS, P), jnp.float32),
+                        out_shape=jax.ShapeDtypeStruct((SROWS, n_pad), jnp.float32),
                         scratch_shapes=b_scratch,
-                        interpret=interpret,
+                        input_output_aliases={len(geom_specs): 0},
                         compiler_params=COMPILER_PARAMS,
                     )(uni_d, cset.mats, lights, prims, cset.aabb_t,
                       cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins,
-                      *sh_inputs, sub)
-                return jax.lax.dynamic_update_slice(st, sub, (0, 0))
-            for kn in kernels:
-                st = pl.pallas_call(
-                    kn,
-                    grid=(pt * (R // Rb),),
-                    in_specs=geom_specs
-                    + [pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
-                                    memory_space=pltpu.VMEM)],
-                    out_specs=pl.BlockSpec((SROWS, Rb), lambda i: (0, i),
-                                           memory_space=pltpu.VMEM),
-                    out_shape=jax.ShapeDtypeStruct((SROWS, n_pad), jnp.float32),
-                    scratch_shapes=b_scratch,
-                    input_output_aliases={len(geom_specs): 0},
-                    compiler_params=COMPILER_PARAMS,
-                )(uni_d, cset.mats, lights, prims, cset.aabb_t,
-                  cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins,
-                  *sh_inputs, st)
-            return st
+                      *sh_inputs, st)
+                return st
 
-        def at_extent(st, gp, uni_d, ext_tiles):
-            st, gp, n_alive_g = _compact_prefix(
-                st, gp, n_pad, ext_tiles * R // GROUP, SROWS)
-            needed_tiles = (n_alive_g * GROUP + (R - 1)) // R
-            # Smallest level covering the alive prefix; alive rays sit
-            # inside the current extent, so idx <= the extent's own index.
-            idx = jnp.sum(lv_arr < needed_tiles)
-            st = jax.lax.switch(
-                idx,
-                [functools.partial(run_prefix, pt=lvl) for lvl in levels],
-                st, uni_d,
-            )
-            return st, gp, idx
+            def at_extent(st, gp, uni_d, ext_tiles):
+                st, gp, n_alive_g = _compact_prefix(
+                    st, gp, n_pad, ext_tiles * R // GROUP, SROWS)
+                needed_tiles = (n_alive_g * GROUP + (R - 1)) // R
+                # Smallest level covering the alive prefix; alive rays sit
+                # inside the current extent, so idx <= the extent's own index.
+                idx = jnp.sum(lv_arr < needed_tiles)
+                st = jax.lax.switch(
+                    idx,
+                    [functools.partial(run_prefix, pt=lvl) for lvl in levels],
+                    st, uni_d,
+                )
+                return st, gp, idx
 
-        def depth_body(depth, carry):
-            st, gp, ext_idx = carry
-            uni_d = (
-                uniforms.at[U_DEPTH].set(depth.astype(jnp.float32))
-                .at[U_LAST].set((depth == cfg.max_depth - 1).astype(jnp.float32))
-            )
-            return jax.lax.switch(
-                ext_idx,
-                [functools.partial(at_extent, ext_tiles=lvl) for lvl in levels],
-                st, gp, uni_d,
-            )
+            def depth_body(depth, carry):
+                st, gp, ext_idx = carry
+                uni_d = (
+                    uniforms.at[U_DEPTH].set(depth.astype(jnp.float32))
+                    .at[U_LAST].set((depth == cfg.max_depth - 1).astype(jnp.float32))
+                )
+                return jax.lax.switch(
+                    ext_idx,
+                    [functools.partial(at_extent, ext_tiles=lvl) for lvl in levels],
+                    st, gp, uni_d,
+                )
 
-        # Depth-1 compaction covers the full primary output (last level).
-        #
-        # The depth chain is a lax.fori_loop when compiled (one Mosaic
-        # payload per prefix level regardless of max_depth) but UNROLLED in
-        # interpret mode: interpret-mode pallas_call inside a while loop
-        # under shard_map miscomputes (the bounce kernel sees state
-        # inconsistent with the compaction permutation — reproduced at
-        # round 3 on the multichip dryrun; identity-permutation or
-        # no-bounce variants are unaffected, pointing at buffer aliasing
-        # in the interpret machinery, which compiled Mosaic never uses).
-        # Interpret mode has no Mosaic compiles, so unrolling costs
-        # nothing there. COSIG_WF_LOOP=py forces the unrolled form when
-        # compiled (escape hatch).
-        # S == 1 (tile_rays == 1024): the compiled fori/switch chain
-        # miscomputes on TPU (bounce stages contribute nothing; depth-2
-        # reproduced on hardware, interpret clean) — the unrolled chain is
-        # correct, so force it for this non-default tile size until the
-        # Mosaic/XLA interaction is root-caused.
-        # COSIG_WF_LOOP=fori overrides BOTH unroll guards (including the
-        # interpret one) — the falsifiability escape used by
-        # tools/repro_s1_depth_chain.py and
-        # tools/repro_interpret_while_shardmap.py to demonstrate the bugs
-        # the guards protect against; never set it in production runs.
-        force_unroll = subpackets == 1
-        wf_loop = _os.environ.get("COSIG_WF_LOOP")
-        if wf_loop == "fori":
-            interpret_unroll = force_unroll = False
-        else:
-            interpret_unroll = interpret
-        carry = (state, group_perm, jnp.int32(len(levels) - 1))
-        if interpret_unroll or force_unroll or wf_loop == "py":
-            for depth in range(1, cfg.max_depth):
-                carry = depth_body(jnp.int32(depth), carry)
-            state, group_perm, _ = carry
-        else:
-            state, group_perm, _ = jax.lax.fori_loop(
-                1, cfg.max_depth, depth_body, carry,
-            )
+            # Depth-1 compaction covers the full primary output (last level).
+            #
+            # The depth chain is a lax.fori_loop when compiled (one Mosaic
+            # payload per prefix level regardless of max_depth) but UNROLLED in
+            # interpret mode: interpret-mode pallas_call inside a while loop
+            # under shard_map miscomputes (the bounce kernel sees state
+            # inconsistent with the compaction permutation — reproduced at
+            # round 3 on the multichip dryrun; identity-permutation or
+            # no-bounce variants are unaffected, pointing at buffer aliasing
+            # in the interpret machinery, which compiled Mosaic never uses).
+            # Interpret mode has no Mosaic compiles, so unrolling costs
+            # nothing there. COSIG_WF_LOOP=py forces the unrolled form when
+            # compiled (escape hatch).
+            # S == 1 (tile_rays == 1024): the compiled fori/switch chain
+            # miscomputes on TPU (bounce stages contribute nothing; depth-2
+            # reproduced on hardware, interpret clean) — the unrolled chain is
+            # correct, so force it for this non-default tile size until the
+            # Mosaic/XLA interaction is root-caused.
+            # COSIG_WF_LOOP=fori overrides BOTH unroll guards (including the
+            # interpret one) — the falsifiability escape used by
+            # tools/repro_s1_depth_chain.py and
+            # tools/repro_interpret_while_shardmap.py to demonstrate the bugs
+            # the guards protect against; never set it in production runs.
+            force_unroll = subpackets == 1
+            wf_loop = _os.environ.get("COSIG_WF_LOOP")
+            if wf_loop == "fori":
+                interpret_unroll = force_unroll = False
+            else:
+                interpret_unroll = interpret
+            carry = (state, group_perm, jnp.int32(len(levels) - 1))
+            if interpret_unroll or force_unroll or wf_loop == "py":
+                for depth in range(1, cfg.max_depth):
+                    carry = depth_body(jnp.int32(depth), carry)
+                state, group_perm, _ = carry
+            else:
+                state, group_perm, _ = jax.lax.fori_loop(
+                    1, cfg.max_depth, depth_body, carry,
+                )
 
     # ---- restore pixel order (inverse group permutation, one cheap group
     # gather) and un-tile with pure reshapes; no per-ray scatter. Only the
@@ -972,7 +1098,7 @@ def render_wavefront(
     sqh, sqw = _quad_grid(subpackets)
     qh, qw = bh // sqh, bw // sqw
     meanfirst = _MEANFIRST and GROUP % aa == 0
-    if cfg.max_depth > 1:
+    if cfg.max_depth > 1 and not selfskip:
         g_total = n_pad // GROUP
         inv = jnp.argsort(group_perm)
         if meanfirst:
