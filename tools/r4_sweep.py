@@ -108,6 +108,19 @@ STAGES = {
         ("glass-mxu-mixed", "glass_sphere",
          {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}, None),
     ],
+    # Self-skip bounce dispatch (COSIG_WF_SELFSKIP; needs a snapshot at
+    # >= ac304d9): interleaved ABAB vs the compaction path on both
+    # configs. Run tools/selfskip_verify.py (bitwise gate) FIRST.
+    "selfskip": [
+        ("glass-ss-off-1", "glass_sphere", {}, None),
+        ("glass-ss-on-1", "glass_sphere", {"COSIG_WF_SELFSKIP": "1"}, None),
+        ("glass-ss-off-2", "glass_sphere", {}, None),
+        ("glass-ss-on-2", "glass_sphere", {"COSIG_WF_SELFSKIP": "1"}, None),
+        ("large-ss-off-1", "large_mesh", {}, None),
+        ("large-ss-on-1", "large_mesh", {"COSIG_WF_SELFSKIP": "1"}, None),
+        ("large-ss-on-2", "large_mesh", {"COSIG_WF_SELFSKIP": "1"}, None),
+        ("large-ss-off-2", "large_mesh", {}, None),
+    ],
 }
 
 
