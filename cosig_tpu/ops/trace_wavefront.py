@@ -15,10 +15,12 @@ tile are dead. This module restructures the pipeline the wavefront way
    cost proportional to the number of *live* rays, not pixels;
 4. final scatter: per-ray colors accumulate back to pixels by ray id.
 
-Steps 2-4 have a zero-copy alternative (COSIG_WF_SELFSKIP, see the
-_SELFSKIP note): state stays in pixel order, the bounce grid covers all
-tiles, and dead tiles skip their own state DMA off an SMEM alive
-bitmap — no sort, no gathers, no prefix ladder, bit-identical images.
+Steps 2-4 have a zero-copy alternative that is the COMPILED DEFAULT
+(COSIG_WF_SELFSKIP=0 reverts; see the _SELFSKIP note): state stays in
+pixel order, the bounce grid covers all tiles, and dead tiles skip
+their own state DMA off an SMEM alive bitmap — no sort, no gathers, no
+prefix ladder, bit-identical images. Interpret mode (CPU tests) always
+takes the compaction path above.
 
 Ray state layout (f32 rows x N rays; kernel_core ROW_* contract):
 0-2 origin, 3-5 direction, 6-8 attenuation, 9-11 color, 12 alive,
@@ -145,7 +147,8 @@ _REC0 = 15
 _NOCOMPACT = _os.environ.get("COSIG_WF_NOCOMPACT") == "1"
 _NOUNT = _os.environ.get("COSIG_WF_NOUNT") == "1"
 
-# Self-skipping bounce dispatch (COSIG_WF_SELFSKIP=1, compiled only):
+# Self-skipping bounce dispatch (default ON compiled; COSIG_WF_SELFSKIP=0
+# reverts to the compaction path, interpret always compacts):
 # instead of compacting alive rays to a dense prefix (octant sort +
 # group gather + prefix-ladder dispatch + final inverse gather), leave
 # the state in pixel order forever and dispatch the bounce grid over ALL
@@ -160,7 +163,11 @@ _NOUNT = _os.environ.get("COSIG_WF_NOUNT") == "1"
 # depends on tile order, culls are conservative supersets, and the
 # (t, gid) winner fold is visit-order/partition invariant (same
 # argument as the tile_rays/cset-granularity gates).
-_SELFSKIP = _os.environ.get("COSIG_WF_SELFSKIP") == "1"
+# Default ON (round-4 decision): hardware bitwise gate green
+# (tools/selfskip_verify.py, glass + large_mesh) and same-window ABAB
+# +21 % glass (42.1 -> 34.9 ms) / +22 % large_mesh (176.9 -> 144.8 ms)
+# over the compaction path (tools/r4_sweep_results.jsonl "selfskip").
+_SELFSKIP = _os.environ.get("COSIG_WF_SELFSKIP", "1") != "0"
 
 # Mean-first finalization (default on; COSIG_WF_MEANFIRST=0 reverts):
 # average the AA samples INSIDE each compaction group BEFORE the inverse
