@@ -894,7 +894,16 @@ def render_wavefront(
         # GROUP gives SINGLE-OCTANT sub-packets whose direction hulls are
         # sign-uniform — the granularity at which bounce-stage frustum
         # culling (COSIG_BOUNCE_FRUSTUM=1) becomes tight.
-        Rb = int(_os.environ.get("COSIG_WF_RB", "0")) or R
+        # Auto rule (r4 ssRb/ssSb sweep, 07:25-07:53 window): narrow cuts
+        # (C_pad <= 128, e.g. glass K32) win at Rb=1024 — finer dead-tile
+        # skip granularity beats per-tile fixed cost when the slab cull is
+        # only one 128-lane block (glass 34.9 -> 33.3-33.9 ms, 3 rows) —
+        # while wide cuts lose there (large_mesh C_pad=256: 144 -> 161 ms),
+        # so they keep the full tile. Sub-packet width never won (Sb2 flat,
+        # Sb4/Rb512 lose); Sb stays _subpackets_for. Image bits are
+        # Rb-invariant (identical image_mean across all sweep rows).
+        Rb_auto = min(R, SUB_LANES) if C_pad <= 128 else R
+        Rb = int(_os.environ.get("COSIG_WF_RB", "0")) or Rb_auto
         assert R % Rb == 0 and Rb % 128 == 0, Rb
         Sb = int(_os.environ.get("COSIG_WF_SB", "0")) or _subpackets_for(Rb)
         assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)

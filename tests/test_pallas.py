@@ -516,12 +516,24 @@ def test_wavefront_mxu_path(scene1, monkeypatch):
     # Mixed mode (COSIG_MXU_SHADOW=0): closest-hit on MXU, shadows on
     # VPU. Shadow occlusion is a pure any-hit bit, so mixed must equal
     # the full-MXU image EXACTLY when the closest-hit t values agree —
-    # they do: same mt_mxu dot. (Equality to the all-VPU image is only
-    # ULP-level, covered above.)
+    # they do: same mt_mxu dot. Exactness holds at the full bounce tile
+    # (Rb == R); at the auto narrow-cut default (Rb = 1024, see the
+    # trace_wavefront Rb_auto note) the VPU/MXU any-hit t can disagree
+    # within a ULP of dist_l on grazing marginal rays, flipping a few
+    # tiny-contribution shadow bits (observed: 22/12288 values, max
+    # 7.2e-7) — so the auto default is checked at ULP tolerance instead.
     monkeypatch.setenv("COSIG_MXU_SHADOW", "0")
     mix, r2 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
     assert float(r1) == float(r2)
-    np.testing.assert_array_equal(np.asarray(mix), np.asarray(mxu))
+    d2 = np.abs(np.asarray(mix) - np.asarray(mxu))
+    assert np.sqrt((d2 ** 2).mean()) < 1e-6
+    assert d2.max() < 1e-3
+    monkeypatch.setenv("COSIG_WF_RB", "4096")  # full tile: exact
+    mix4, r3 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.delenv("COSIG_MXU_SHADOW")
+    mxu4, r4 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r3) == float(r4) == float(r1)
+    np.testing.assert_array_equal(np.asarray(mix4), np.asarray(mxu4))
 
 
 @pytest.mark.parametrize("tr", [2048, 8192, 16384])

@@ -108,6 +108,42 @@ STAGES = {
         ("glass-mxu-mixed", "glass_sphere",
          {"COSIG_MXU": "1", "COSIG_MXU_SHADOW": "0"}, None),
     ],
+    # Bounce tile size under the selfskip default (snapshot >= 42ccdc3):
+    # smaller Rb = finer dead-tile skip granularity (the SMEM alive
+    # bitmap is per-Rb-tile) vs less per-traversal fixed-cost
+    # amortization. Sb follows _subpackets_for (2048->4, 1024->2,
+    # 512->1; sub-packet lanes stay >= 512).
+    "ssRb": [
+        ("glass-Rb4096-1", "glass_sphere", {}, None),
+        ("glass-Rb2048", "glass_sphere", {"COSIG_WF_RB": "2048"}, None),
+        ("glass-Rb1024", "glass_sphere", {"COSIG_WF_RB": "1024"}, None),
+        ("glass-Rb512", "glass_sphere", {"COSIG_WF_RB": "512"}, None),
+        ("glass-Rb4096-2", "glass_sphere", {}, None),
+        ("large-Rb2048", "large_mesh", {"COSIG_WF_RB": "2048"}, None),
+        ("large-Rb1024", "large_mesh", {"COSIG_WF_RB": "1024"}, None),
+        ("large-Rb4096", "large_mesh", {}, None),
+    ],
+    # Bounce sub-packet width under selfskip+MXU (follow-up to ssRb):
+    # Rb//Sb lanes per sub-packet — narrower sub-packets visit fewer
+    # clusters per ray (less pair-test inflation) at more scalar
+    # branches per visit. Round-3's Rb1024/Sb8 rejection predates the
+    # MXU default and selfskip; re-test the middle of the range.
+    "ssSb": [
+        ("glass-Rb1024-Sb1-1", "glass_sphere", {"COSIG_WF_RB": "1024"}, None),
+        ("glass-Rb1024-Sb2", "glass_sphere",
+         {"COSIG_WF_RB": "1024", "COSIG_WF_SB": "2"}, None),
+        ("glass-Rb1024-Sb4", "glass_sphere",
+         {"COSIG_WF_RB": "1024", "COSIG_WF_SB": "4"}, None),
+        ("glass-Rb512-Sb1", "glass_sphere",
+         {"COSIG_WF_RB": "512", "COSIG_WF_SB": "1"}, None),
+        ("glass-Rb1024-Sb1-2", "glass_sphere", {"COSIG_WF_RB": "1024"}, None),
+        ("large-Rb1024-Sb1-1", "large_mesh", {"COSIG_WF_RB": "1024"}, None),
+        ("large-Rb1024-Sb2", "large_mesh",
+         {"COSIG_WF_RB": "1024", "COSIG_WF_SB": "2"}, None),
+        ("large-Rb512-Sb1", "large_mesh",
+         {"COSIG_WF_RB": "512", "COSIG_WF_SB": "1"}, None),
+        ("large-Rb1024-Sb1-2", "large_mesh", {"COSIG_WF_RB": "1024"}, None),
+    ],
     # Self-skip bounce dispatch (COSIG_WF_SELFSKIP; needs a snapshot at
     # >= ac304d9): interleaved ABAB vs the compaction path on both
     # configs. Run tools/selfskip_verify.py (bitwise gate) FIRST.
