@@ -904,6 +904,10 @@ def render_wavefront(
         # Rb-invariant (identical image_mean across all sweep rows).
         Rb_auto = min(R, SUB_LANES) if C_pad <= 128 else R
         Rb = int(_os.environ.get("COSIG_WF_RB", "0")) or Rb_auto
+        if Rb < SUB_LANES:
+            raise ValueError(
+                f"COSIG_WF_RB must be >= SUB_LANES ({SUB_LANES}); got {Rb}"
+            )
         assert R % Rb == 0 and Rb % 128 == 0, Rb
         Sb = int(_os.environ.get("COSIG_WF_SB", "0")) or _subpackets_for(Rb)
         assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)
