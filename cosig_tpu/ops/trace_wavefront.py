@@ -169,6 +169,17 @@ _NOUNT = _os.environ.get("COSIG_WF_NOUNT") == "1"
 # over the compaction path (tools/r4_sweep_results.jsonl "selfskip").
 _SELFSKIP = _os.environ.get("COSIG_WF_SELFSKIP", "1") != "0"
 
+# Early-t cluster skip (COSIG_EARLYT=1; experiment, default off until the
+# TPU ABAB lands): the TPU-shaped analog of the reference's pop-time
+# best-t early-out (BVHRayTracing.compute:255-258) — closest-hit
+# traversals record per-(sub-packet, cluster) entry lower bounds, visit
+# clusters in approximate front-to-back order (an SMEM counting sort over
+# quantized entry buckets), and skip a visit once the cluster's entry
+# bound exceeds every active ray's current best t. Exact — bit-identical
+# images (the (t, gid) winner fold is visit-order invariant and strict->
+# skips cannot drop ties); see kernel_core.make_traverse's earlyt note.
+_EARLYT = _os.environ.get("COSIG_EARLYT") == "1"
+
 # Mean-first finalization (default on; COSIG_WF_MEANFIRST=0 reverts):
 # average the AA samples INSIDE each compaction group BEFORE the inverse
 # group gather. aa divides GROUP, so a pixel's samples never straddle a
@@ -286,6 +297,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state, best_ref, flag_vmem, flags_smem,
                list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
+               bounds_vmem, bounds_smem, cnt_smem, bsem,
                sh_flag_vmem, sh_flags_smem, sh_list_smem):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -386,6 +398,8 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             geom_mx=geom_mx if mxu else None,
             gatt=gatt if mxu else None, raysmx=raysmx,
             mxu_anyhit=mxu != 2,
+            bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
+            cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
@@ -443,6 +457,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
              sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
              sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
              list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
+             bounds_vmem, bounds_smem, cnt_smem, bsem,
              sh_flag_vmem, sh_flags_smem, sh_list_smem):
         """One bounce on ``state`` (a (SROWS, R) VMEM ref), shared by the
         blocked and self-skip kernel forms below."""
@@ -463,6 +478,8 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
             geom_mx=geom_mx if mxu else None,
             gatt=gatt if mxu else None, raysmx=raysmx,
             mxu_anyhit=mxu != 2,
+            bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
+            cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
             frustum=bounce_frustum,
         )
         traverse_shadow = _make_shadow_traverse(
@@ -487,7 +504,8 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                    sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
                    sh_sub_aabb_t, sh_geom, alive_bm, state_in, state_out,
                    best_ref, flag_vmem, flags_smem, list_smem, sem,
-                   sbflag_vmem, sb_smem, gbuf, gsem, raysmx, sh_flag_vmem,
+                   sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
+                   bounds_vmem, bounds_smem, cnt_smem, bsem, sh_flag_vmem,
                    sh_flags_smem, sh_list_smem, st_vmem, ssem):
             # Self-skip form (_SELFSKIP note): state_in/state_out are the
             # FULL (SROWS, n_pad) array as unblocked HBM operands (aliased
@@ -507,7 +525,8 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                      sb_aabb_t, sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t,
                      sh_sb_aabb_t, sh_sub_aabb_t, sh_geom, best_ref,
                      flag_vmem, flags_smem, list_smem, sem, sbflag_vmem,
-                     sb_smem, gbuf, gsem, raysmx, sh_flag_vmem,
+                     sb_smem, gbuf, gsem, raysmx, bounds_vmem, bounds_smem,
+                     cnt_smem, bsem, sh_flag_vmem,
                      sh_flags_smem, sh_list_smem)
                 cpo = pltpu.make_async_copy(
                     st_vmem, state_out.at[:, pl.ds(tile * R, R)], ssem
@@ -521,7 +540,8 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state_in, state_out, best_ref, flag_vmem,
                flags_smem, list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem,
-               raysmx, sh_flag_vmem, sh_flags_smem, sh_list_smem):
+               raysmx, bounds_vmem, bounds_smem, cnt_smem, bsem,
+               sh_flag_vmem, sh_flags_smem, sh_list_smem):
         # The output block is the working ref (readable after write in
         # Pallas VMEM); one copy-in replaces the old in -> scratch -> out
         # double copy.
@@ -535,6 +555,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                  sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
                  sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
                  list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
+                 bounds_vmem, bounds_smem, cnt_smem, bsem,
                  sh_flag_vmem, sh_flags_smem, sh_list_smem)
 
     return kernel
@@ -666,6 +687,15 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
             (128, R) if mxu == 1 else (64, R) if mxu == 2 else (16, 128),
             jnp.bfloat16,
         ),
+        # Early-t traversal scratch (kernel_core earlyt note): per-
+        # (sub-packet, cluster) entry bounds in VMEM + their SMEM copy,
+        # bucket counters for the counting sort, and the bounds DMA
+        # semaphore. Allocated unconditionally (tiny) so kernel
+        # signatures stay static whether or not COSIG_EARLYT is on.
+        pltpu.VMEM((8, C_pad), jnp.float32),
+        pltpu.SMEM((8, C_pad), jnp.float32),
+        pltpu.SMEM((1, 128), jnp.int32),
+        pltpu.SemaphoreType.DMA,
     ]
     geom_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms

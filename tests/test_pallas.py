@@ -579,6 +579,28 @@ def test_wavefront_meanfirst_exact(scene1, monkeypatch):
     np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
 
 
+def test_wavefront_earlyt_exact(scene1, monkeypatch):
+    """Early-t cluster skip (COSIG_EARLYT — front-to-back visit order +
+    best-t visit skip, kernel_core earlyt note) must be BIT-identical:
+    the (t, gid) winner fold is visit-order invariant, and a strict->
+    entry bound can only skip clusters that cannot win even a tie."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(64, 64), max_depth=3, aa_samples=2,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    monkeypatch.setattr(trace_wavefront, "_EARLYT", False)
+    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.setattr(trace_wavefront, "_EARLYT", True)
+    img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+
+
 def test_wavefront_shadow_cset_exact(scene1):
     """A separate (coarser) shadow cluster set (cset_shadow) must be
     BIT-identical to the single-set render: any-hit occlusion is a
