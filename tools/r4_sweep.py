@@ -144,6 +144,20 @@ STAGES = {
          {"COSIG_WF_RB": "512", "COSIG_WF_SB": "1"}, None),
         ("large-Rb1024-Sb1-2", "large_mesh", {"COSIG_WF_RB": "1024"}, None),
     ],
+    # Early-t cluster skip (COSIG_EARLYT; needs a snapshot at >= d9ac441):
+    # front-to-back visit order + best-t dispatch skip — the reference's
+    # pop-time early-out analog. Run tools/earlyt_verify.py (bitwise
+    # gate) FIRST.
+    "earlyt": [
+        ("glass-et-off-1", "glass_sphere", {}, None),
+        ("glass-et-on-1", "glass_sphere", {"COSIG_EARLYT": "1"}, None),
+        ("glass-et-off-2", "glass_sphere", {}, None),
+        ("glass-et-on-2", "glass_sphere", {"COSIG_EARLYT": "1"}, None),
+        ("large-et-off-1", "large_mesh", {}, None),
+        ("large-et-on-1", "large_mesh", {"COSIG_EARLYT": "1"}, None),
+        ("large-et-on-2", "large_mesh", {"COSIG_EARLYT": "1"}, None),
+        ("large-et-off-2", "large_mesh", {}, None),
+    ],
     # Self-skip bounce dispatch (COSIG_WF_SELFSKIP; needs a snapshot at
     # >= ac304d9): interleaved ABAB vs the compaction path on both
     # configs. Run tools/selfskip_verify.py (bitwise gate) FIRST.
