@@ -179,6 +179,14 @@ def build_lights(params: FrameParams, multi_light: bool) -> jax.Array:
 #: field packed above the sub-packet bits in the flag word).
 EARLYT_BUCKETS = 16
 
+#: Row of the (9, C_pad) early-t bounds scratch holding the CACHED
+#: per-sub-packet max-best scalar (column sp). best_ref[0] only changes
+#: during executed visits, so recomputing the reduce there (and reading
+#: one SMEM scalar per dispatch test) is exact — and turns the skip test
+#: from a per-listed-visit vector reduce (~the per-cluster scalar-stall
+#: cost this kernel's whole structure avoids) into one SMEM load.
+ET_MAX_ROW = 8
+
 
 def make_traverse(
     aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem, list_smem, sem,
@@ -188,7 +196,7 @@ def make_traverse(
     sub_aabb_t=None, subgroups=1,
     geom_mx=None, gatt=None, raysmx=None, mxu_anyhit=True,
     bounds_vmem=None, bounds_smem=None, cnt_smem=None, bsem=None,
-    earlyt=False,
+    earlyt=False, earlyt_occ=False,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -318,6 +326,14 @@ def make_traverse(
         # Early-t machinery (see the earlyt docstring note): closest-hit
         # only — any-hit occlusion has no best-t to bound against.
         use_et = earlyt and not any_hit and bounds_vmem is not None
+        # Occlusion-saturation skip (``earlyt_occ``): the any-hit analog —
+        # once every ACTIVE ray of a sub-packet is occluded, remaining
+        # visits cannot change the image (flags only grow via max, and
+        # inactive lanes' flags are masked downstream: gate = lit & ndl>0
+        # & alive in shade). Same ET_MAX_ROW cache, min instead of max;
+        # no bounds/counting-sort machinery needed.
+        use_occ = earlyt_occ and any_hit and bounds_smem is not None
+        use_skip = use_et or use_occ
         NEG_INF = F(-3.402823466e38)
         if any_hit:
             assert max_t is not None
@@ -653,7 +669,9 @@ def make_traverse(
             copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
             copy.start()
             if use_et:
-                bcopy = pltpu.make_async_copy(bounds_vmem, bounds_smem, bsem)
+                bcopy = pltpu.make_async_copy(
+                    bounds_vmem.at[0:S], bounds_smem.at[0:S], bsem
+                )
                 bcopy.start()
             stage_rays()
             copy.wait()
@@ -702,7 +720,9 @@ def make_traverse(
                 # Bucket-pack over the assembled full row (dead blocks
                 # stay flag 0 / bound INF and never compact).
                 flag_vmem[:, :] = _et_pack(flag_vmem[0:1, :])
-                bcopy = pltpu.make_async_copy(bounds_vmem, bounds_smem, bsem)
+                bcopy = pltpu.make_async_copy(
+                    bounds_vmem.at[0:S], bounds_smem.at[0:S], bsem
+                )
                 bcopy.start()
             copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
             copy.start()
@@ -741,16 +761,46 @@ def make_traverse(
             ray's current best t. Strict ``>`` skips cannot drop ties, so
             the (t, gid) winner is unchanged (see the earlyt note)."""
             c_bit = ((((entry & 0xFF) >> sp) & 1) > 0) if S > 1 else None
-            if not use_et:
+            if use_occ:
+                no_skip = bounds_smem[ET_MAX_ROW, sp] < F(1.0)
+                if os.environ.get("COSIG_ETOCC_DBG") == "noskip":
+                    # Diagnostic: keep every cache op in the program but
+                    # never skip — separates program-shape (fusion) image
+                    # deltas from actual skip-logic deltas.
+                    no_skip = no_skip | (bounds_smem[ET_MAX_ROW, sp] < INF)
+            elif use_et:
+                bound = bounds_smem[sp, _cid(entry)]
+                no_skip = bound <= bounds_smem[ET_MAX_ROW, sp]
+            else:
                 return c_bit
-            bound = bounds_smem[sp, _cid(entry)]
+            return no_skip if c_bit is None else c_bit & no_skip
+
+        def et_refresh(sp):
+            """Recompute sub-packet ``sp``'s cached dispatch-skip scalar
+            (ET_MAX_ROW note): exact as long as it runs after every
+            best_ref[0] update the dispatch tests can observe — i.e. at
+            traversal start and inside each executed visit (sub-packet
+            ``sp``'s visit only touches its own lane window). Closest
+            hit caches max best-t over active rays; any-hit caches min
+            occlusion flag (1.0 = saturated, skip) with inactive lanes
+            counting as occluded."""
             if S == 1:
                 bt, am = best_ref[0:1], active
             else:
                 bt = best_ref[0:1, sp * RS : (sp + 1) * RS]
                 am = active[:, sp * RS : (sp + 1) * RS]
-            no_skip = bound <= jnp.max(jnp.where(am, bt, NEG_INF))
-            return no_skip if c_bit is None else c_bit & no_skip
+            if any_hit:
+                bounds_smem[ET_MAX_ROW, sp] = jnp.min(
+                    jnp.where(am, bt, F(1.0))
+                )
+            else:
+                bounds_smem[ET_MAX_ROW, sp] = jnp.max(
+                    jnp.where(am, bt, NEG_INF)
+                )
+
+        if use_skip:
+            for _sp in range(S):
+                et_refresh(_sp)
 
         # Per-sub-packet ray-plane windows, loaded ONCE per traversal
         # (loop-invariant across cluster visits; loading inside the visit
@@ -1039,10 +1089,11 @@ def make_traverse(
 
             if use_mxu:
                 if S == 1:
-                    if use_et:
+                    if use_skip:
                         @pl.when(disp_cond(entry, 0))
                         def _():
                             mt_mxu(0, R, sub_mx[0])
+                            et_refresh(0)
                     else:
                         mt_mxu(0, R, sub_mx[0])
                 else:
@@ -1050,11 +1101,14 @@ def make_traverse(
                         @pl.when(disp_cond(entry, sp))
                         def _(sp=sp):
                             mt_mxu(sp * RS, RS, sub_mx[sp])
+                            if use_skip:
+                                et_refresh(sp)
             elif S == 1:
-                if use_et:
+                if use_skip:
                     @pl.when(disp_cond(entry, 0))
                     def _():
                         mt(0, R)
+                        et_refresh(0)
                 else:
                     mt(0, R)
             else:
@@ -1068,6 +1122,8 @@ def make_traverse(
                     @pl.when(disp_cond(entry, sp))
                     def _(sp=sp):
                         mt(sp * RS, RS, sub_rays[sp])
+                        if use_skip:
+                            et_refresh(sp)
             return 0
 
         if not _stub_visit(any_hit):

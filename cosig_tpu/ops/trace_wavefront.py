@@ -180,6 +180,15 @@ _SELFSKIP = _os.environ.get("COSIG_WF_SELFSKIP", "1") != "0"
 # skips cannot drop ties); see kernel_core.make_traverse's earlyt note.
 _EARLYT = _os.environ.get("COSIG_EARLYT") == "1"
 
+# Occlusion-saturation skip (COSIG_EARLYT_OCC=1; experiment, default off
+# until the TPU ABAB lands): the any-hit analog of early-t — once every
+# ACTIVE ray of a sub-packet is occluded, the remaining shadow cluster
+# visits are skipped via one cached SMEM scalar per sub-packet. Exact:
+# occlusion flags only grow (max-fold) and inactive lanes' flags are
+# masked downstream (shade's gate = lit & ndl>0 & alive); see
+# kernel_core.make_traverse's earlyt_occ note.
+_EARLYT_OCC = _os.environ.get("COSIG_EARLYT_OCC") == "1"
+
 # Mean-first finalization (default on; COSIG_WF_MEANFIRST=0 reverts):
 # average the AA samples INSIDE each compaction group BEFORE the inverse
 # group gather. aa divides GROUP, so a pixel's samples never straddle a
@@ -235,7 +244,8 @@ def _decode_rid(rid_plane, uniforms, decode):
 def _make_shadow_traverse(sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                           sh_geom, best_ref, sh_flag_vmem, sh_flags_smem,
                           sh_list_smem, sem, sbflag_vmem, sb_smem, R,
-                          subpackets, prims, n_sph, n_box, frustum):
+                          subpackets, prims, n_sph, n_box, frustum,
+                          bounds_smem=None):
     """Traversal closure over the SHADOW cluster set (cset_shadow) —
     any-hit queries on a coarser cut of the same triangle soup, VPU pair
     tests, single cull block (enforced by _shadow_resources). Returns
@@ -251,6 +261,7 @@ def _make_shadow_traverse(sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
         shC, shC_pad, shK, R,
         subpackets=subpackets, prims=prims, n_sph=n_sph, n_box=n_box,
         sub_aabb_t=sh_sub_aabb_t, subgroups=1, frustum=frustum,
+        bounds_smem=bounds_smem, earlyt_occ=_EARLYT_OCC,
     )
 
 
@@ -400,6 +411,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             mxu_anyhit=mxu != 2,
             bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
             cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
+            earlyt_occ=_EARLYT_OCC,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
@@ -412,7 +424,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
             best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
             sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
-            frustum=True,
+            frustum=True, bounds_smem=bounds_smem,
         )
         if fission:
             _rec_store(state, bounce_trace(traverse, state))
@@ -480,13 +492,14 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
             mxu_anyhit=mxu != 2,
             bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
             cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
+            earlyt_occ=_EARLYT_OCC,
             frustum=bounce_frustum,
         )
         traverse_shadow = _make_shadow_traverse(
             sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
             best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
             sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
-            frustum=bounce_frustum,
+            frustum=bounce_frustum, bounds_smem=bounds_smem,
         )
         if mode == "trace":
             _rec_store(state, bounce_trace(traverse, state))
@@ -688,12 +701,13 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
             jnp.bfloat16,
         ),
         # Early-t traversal scratch (kernel_core earlyt note): per-
-        # (sub-packet, cluster) entry bounds in VMEM + their SMEM copy,
+        # (sub-packet, cluster) entry bounds in VMEM + their SMEM copy
+        # (9th SMEM row = the ET_MAX_ROW cached max-best scalars),
         # bucket counters for the counting sort, and the bounds DMA
         # semaphore. Allocated unconditionally (tiny) so kernel
         # signatures stay static whether or not COSIG_EARLYT is on.
         pltpu.VMEM((8, C_pad), jnp.float32),
-        pltpu.SMEM((8, C_pad), jnp.float32),
+        pltpu.SMEM((9, C_pad), jnp.float32),
         pltpu.SMEM((1, 128), jnp.int32),
         pltpu.SemaphoreType.DMA,
     ]

@@ -158,6 +158,20 @@ STAGES = {
         ("large-et-on-2", "large_mesh", {"COSIG_EARLYT": "1"}, None),
         ("large-et-off-2", "large_mesh", {}, None),
     ],
+    # Occlusion-saturation skip (COSIG_EARLYT_OCC; needs a snapshot with
+    # the earlyt_occ kernel support): any-hit shadow visits skipped once
+    # a sub-packet's active rays are all occluded. Run
+    # tools/etocc_verify.py (bitwise gate) FIRST.
+    "etocc": [
+        ("glass-occ-off-1", "glass_sphere", {}, None),
+        ("glass-occ-on-1", "glass_sphere", {"COSIG_EARLYT_OCC": "1"}, None),
+        ("glass-occ-off-2", "glass_sphere", {}, None),
+        ("glass-occ-on-2", "glass_sphere", {"COSIG_EARLYT_OCC": "1"}, None),
+        ("large-occ-off-1", "large_mesh", {}, None),
+        ("large-occ-on-1", "large_mesh", {"COSIG_EARLYT_OCC": "1"}, None),
+        ("large-occ-on-2", "large_mesh", {"COSIG_EARLYT_OCC": "1"}, None),
+        ("large-occ-off-2", "large_mesh", {}, None),
+    ],
     # Self-skip bounce dispatch (COSIG_WF_SELFSKIP; needs a snapshot at
     # >= ac304d9): interleaved ABAB vs the compaction path on both
     # configs. Run tools/selfskip_verify.py (bitwise gate) FIRST.

@@ -21,6 +21,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The guarded fori/switch chain lives in the COMPACTION dispatch path;
+# under the selfskip default (COSIG_WF_SELFSKIP=1) both modes run the
+# self-skip fori chain and the comparison is vacuous. Pin it off (must
+# happen before trace_wavefront is first imported, in render()).
+os.environ["COSIG_WF_SELFSKIP"] = "0"
+
 import numpy as np
 
 
