@@ -185,15 +185,48 @@ STAGES = {
         ("large-ss-on-2", "large_mesh", {"COSIG_WF_SELFSKIP": "1"}, None),
         ("large-ss-off-2", "large_mesh", {}, None),
     ],
+    # Megakernel (pallas backend) vs the wavefront flagship under the
+    # round-4 defaults. Selfskip closed the sparsity gap between them
+    # (both now skip dead work at ~1024-ray tile granularity), so the
+    # megakernel's zero inter-stage HBM traffic could matter again —
+    # but it has no MXU/early-t wiring yet, so this is its VPU floor.
+    "mega": [
+        ("glass-wf-1", "glass_sphere", {}, None),
+        ("glass-mega-1", "glass_sphere", {"COSIG_SWEEP_BACKEND": "pallas"}, None),
+        ("glass-wf-2", "glass_sphere", {}, None),
+        ("large-wf-1", "large_mesh", {}, None),
+        ("large-mega-1", "large_mesh", {"COSIG_SWEEP_BACKEND": "pallas"}, None),
+        ("large-wf-2", "large_mesh", {}, None),
+    ],
+    # Stage decomposition of the glass frame under the round-4 defaults
+    # (selfskip + MXU + auto-Rb): stub rows render WRONG images
+    # (COSIG_BENCH_NO_RMSE is always set by run_one). cost(stage) =
+    # full - row; "floor" = non-traversal non-shading remainder.
+    "decomp": [
+        ("glass-full-1", "glass_sphere", {}, None),
+        ("glass-no-mt", "glass_sphere", {"COSIG_STUB": "mt"}, None),
+        ("glass-no-trav", "glass_sphere", {"COSIG_STUB": "trav"}, None),
+        ("glass-no-shadow", "glass_sphere", {"COSIG_STUB": "shadow"}, None),
+        ("glass-no-shade", "glass_sphere", {"COSIG_STUB": "shade"}, None),
+        ("glass-no-shvis", "glass_sphere", {"COSIG_STUB": "visit_anyhit"}, None),
+        ("glass-floor", "glass_sphere", {"COSIG_STUB": "trav,shade"}, None),
+        ("glass-full-2", "glass_sphere", {}, None),
+        ("large-full-1", "large_mesh", {}, None),
+        ("large-no-mt", "large_mesh", {"COSIG_STUB": "mt"}, None),
+        ("large-no-trav", "large_mesh", {"COSIG_STUB": "trav"}, None),
+        ("large-no-shadow", "large_mesh", {"COSIG_STUB": "shadow"}, None),
+        ("large-full-2", "large_mesh", {}, None),
+    ],
 }
 
 
 def run_one(label: str, config: str, env_extra: dict, cwd=None) -> dict:
     env = dict(os.environ, COSIG_BENCH_NO_RMSE="1", **env_extra)
+    backend = env.pop("COSIG_SWEEP_BACKEND", "wavefront")
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, "bench.py", "--config", config,
-         "--backend", "wavefront", "--emit-details"],
+         "--backend", backend, "--emit-details"],
         capture_output=True, text=True, timeout=2400, env=env,
         cwd=cwd or NEW_CWD,
     )
