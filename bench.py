@@ -23,8 +23,33 @@ import numpy as np
 TARGET_MRAYS = 500.0  # BASELINE.md north-star for v5e single chip
 
 
+def _enable_jax_cache():
+    """Persistent compilation cache (COSIG_JAX_CACHE=0 disables).
+
+    Through a degraded axon tunnel a single compile can take 100-700 s
+    (CLAUDE.md hazard #3), and every bench/sweep row is a fresh process,
+    so repeated configs re-pay it. The persistent cache serializes the
+    compiled executable to disk keyed by HLO+flags; if the backend
+    doesn't support serialization JAX logs and skips — harmless."""
+    if os.environ.get("COSIG_JAX_CACHE", "1") == "0":
+        return
+    import jax
+
+    d = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jaxcache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax: knob names differ; cache is an optimization only
+
+
 def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     import jax
+
+    _enable_jax_cache()
 
     from cosig_tpu.accel.clusters import build_clusters
     from cosig_tpu.models.soa import compile_scene, frame_params, static_config
