@@ -217,6 +217,21 @@ STAGES = {
         ("large-no-shadow", "large_mesh", {"COSIG_STUB": "shadow"}, None),
         ("large-full-2", "large_mesh", {}, None),
     ],
+    # Cluster size re-test under the round-4 defaults: MXU pair tests
+    # (4x VPU dot throughput) shrink the marginal cost of pair-work
+    # inflation, and selfskip removed the compaction overhead — both
+    # shift the K balance measured in rounds 2-3. COSIG_WF_RB pinned at
+    # the shipped glass granularity where C_pad would otherwise flip the
+    # auto-Rb rule and confound the comparison.
+    "kmx": [
+        ("glass-K32-1", "glass_sphere", {}, None),
+        ("glass-K16", "glass_sphere", {"COSIG_K": "16", "COSIG_WF_RB": "1024"}, None),
+        ("glass-K64", "glass_sphere", {"COSIG_K": "64"}, None),
+        ("glass-K32-2", "glass_sphere", {}, None),
+        ("large-K64-1", "large_mesh", {}, None),
+        ("large-K32", "large_mesh", {"COSIG_K": "32"}, None),
+        ("large-K64-2", "large_mesh", {}, None),
+    ],
 }
 
 
