@@ -217,6 +217,13 @@ STAGES = {
         ("large-no-shadow", "large_mesh", {"COSIG_STUB": "shadow"}, None),
         ("large-full-2", "large_mesh", {}, None),
     ],
+    # Remainder of etocc after a mid-stage interruption (glass rows +
+    # large-occ-off-1 already recorded: occ LOSES on glass ~2.5 %).
+    "etocc-large": [
+        ("large-occ-on-1", "large_mesh", {"COSIG_EARLYT_OCC": "1"}, None),
+        ("large-occ-off-2", "large_mesh", {}, None),
+        ("large-occ-on-2", "large_mesh", {"COSIG_EARLYT_OCC": "1"}, None),
+    ],
     # Cluster size re-test under the round-4 defaults: MXU pair tests
     # (4x VPU dot throughput) shrink the marginal cost of pair-work
     # inflation, and selfskip removed the compaction overhead — both
