@@ -57,6 +57,15 @@ def _stub_mt(any_hit: bool) -> bool:
     return "mt" in _STUB or (any_hit and "mt_anyhit" in _STUB)
 
 
+def _stub_sel(any_hit: bool) -> bool:
+    """"sel": run the pair-test dot but skip the winner selection (MXU
+    path only; images WRONG). Splits the visit cost into its two halves
+    — bf16 MXU dot vs VPU selection arithmetic — for the depth-1
+    attribution runs (tools/depth_profile.py), where liveness cannot
+    confound (no bounce stages exist at max_depth == 1)."""
+    return "sel" in _STUB or (any_hit and "sel_anyhit" in _STUB)
+
+
 def _stub_visit(any_hit: bool) -> bool:
     return "visit" in _STUB or (any_hit and "visit_anyhit" in _STUB)
 
@@ -196,7 +205,7 @@ def make_traverse(
     sub_aabb_t=None, subgroups=1,
     geom_mx=None, gatt=None, raysmx=None, mxu_anyhit=True,
     bounds_vmem=None, bounds_smem=None, cnt_smem=None, bsem=None,
-    earlyt=False, earlyt_occ=False,
+    earlyt=False, earlyt_occ=False, wsel_vmem=None,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -669,8 +678,15 @@ def make_traverse(
             copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
             copy.start()
             if use_et:
+                # Copy ALL 8 sublanes, not [0:S]: a partial-sublane window
+                # spanning >1 lane tile (S=4, C_pad=256 — large_mesh)
+                # fails Mosaic DMA lowering (`memref<4x256xf32,
+                # tiled<(8,128)>` — the r4 "large-et-on" crash). Rows
+                # [S, 8) carry scratch garbage into SMEM rows never read
+                # (skip tests index sp < S; ET_MAX_ROW is row 8, outside
+                # the copied window).
                 bcopy = pltpu.make_async_copy(
-                    bounds_vmem.at[0:S], bounds_smem.at[0:S], bsem
+                    bounds_vmem, bounds_smem.at[0:8], bsem
                 )
                 bcopy.start()
             stage_rays()
@@ -720,8 +736,9 @@ def make_traverse(
                 # Bucket-pack over the assembled full row (dead blocks
                 # stay flag 0 / bound INF and never compact).
                 flag_vmem[:, :] = _et_pack(flag_vmem[0:1, :])
+                # Full-sublane copy: see the single-block bcopy note.
                 bcopy = pltpu.make_async_copy(
-                    bounds_vmem.at[0:S], bounds_smem.at[0:S], bsem
+                    bounds_vmem, bounds_smem.at[0:8], bsem
                 )
                 bcopy.start()
             copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
@@ -802,11 +819,28 @@ def make_traverse(
             for _sp in range(S):
                 et_refresh(_sp)
 
+        # Window selection (WSEL, COSIG_WSEL): ONE full-width pair-test
+        # dot per visited cluster (big, MXU-efficient — written to the
+        # wsel scratch so the per-window reads below are fresh aligned
+        # ref loads, per the Mosaic staging rule), with the expensive
+        # VPU winner-selection run ONLY on the lane windows whose cull
+        # bit is set. Selection is lane-local (every reduce is over the
+        # K sublanes), so skipping unflagged windows is exactly the
+        # sub-packet dispatch argument: those windows' rays all failed
+        # the (conservative-superset) slab test, so the cluster cannot
+        # contribute a winner there. The dot spends inflated-but-cheap
+        # MXU FLOPs; the selection — the dominant per-pair cost (r3
+        # batching post-mortem, STATUS round-5 analysis) — spends
+        # fine-granularity work.
+        use_wsel = use_mxu and wsel_vmem is not None and S > 1
+
         # Per-sub-packet ray-plane windows, loaded ONCE per traversal
         # (loop-invariant across cluster visits; loading inside the visit
         # body would re-issue 9 loads per cluster).
-        sub_rays = sub_mx = riota = None
+        sub_rays = sub_mx = riota = full_mx = None
         if use_mxu:
+            if use_wsel:
+                full_mx = raysmx[mxb : mxb + 64, :]
             sub_mx = (
                 [
                     raysmx[mxb : mxb + 64, sp * RS : (sp + 1) * RS]
@@ -986,6 +1020,16 @@ def make_traverse(
                     gmc[0 : 5 * K], mxwin,
                     preferred_element_type=jnp.float32,
                 )
+                if _stub_sel(any_hit):
+                    # Attribution stub: keep the dot alive (zero-scaled
+                    # fold into the best row), skip the selection.
+                    if w == R:
+                        best_ref[0:1] = best_ref[0:1] + out[0:1] * F(0.0)
+                    else:
+                        best_ref[0:1, off : off + w] = (
+                            best_ref[0:1, off : off + w] + out[0:1] * F(0.0)
+                        )
+                    return
                 mxu_sel(out, gac, off, w)
 
             def mt(off, w, rays9=None):
@@ -1088,7 +1132,24 @@ def make_traverse(
                     bset(row, jnp.where(better, new, bref(row)))
 
             if use_mxu:
-                if S == 1:
+                if use_wsel:
+                    # WSEL (see the use_wsel note): full-width dot once,
+                    # selection per flagged window off the scratch ref.
+                    wsel_vmem[:, :] = jnp.dot(
+                        gmc[0 : 5 * K], full_mx,
+                        preferred_element_type=jnp.float32,
+                    )
+                    if not _stub_sel(any_hit):
+                        for sp in range(S):
+                            @pl.when(disp_cond(entry, sp))
+                            def _(sp=sp):
+                                mxu_sel(
+                                    wsel_vmem[:, sp * RS : (sp + 1) * RS],
+                                    gac, sp * RS, RS,
+                                )
+                                if use_skip:
+                                    et_refresh(sp)
+                elif S == 1:
                     if use_skip:
                         @pl.when(disp_cond(entry, 0))
                         def _():

@@ -167,7 +167,14 @@ _NOUNT = _os.environ.get("COSIG_WF_NOUNT") == "1"
 # (tools/selfskip_verify.py, glass + large_mesh) and same-window ABAB
 # +21 % glass (42.1 -> 34.9 ms) / +22 % large_mesh (176.9 -> 144.8 ms)
 # over the compaction path (tools/r4_sweep_results.jsonl "selfskip").
-_SELFSKIP = _os.environ.get("COSIG_WF_SELFSKIP", "1") != "0"
+# "force" additionally enables it UNDER INTERPRET (CPU test coverage of
+# the shipped dispatch path, round-4 VERDICT weak #2) — the depth chain
+# is then unrolled in Python, which sidesteps the interpret-pallas-in-
+# while miscompute (the _SELFSKIP-path fori_loop is exactly the shape
+# that bug hits; see tools/repro_interpret_while_shardmap.py).
+_SELFSKIP_ENV = _os.environ.get("COSIG_WF_SELFSKIP", "1")
+_SELFSKIP = _SELFSKIP_ENV != "0"
+_SELFSKIP_FORCE = _SELFSKIP_ENV == "force"
 
 # Early-t cluster skip (COSIG_EARLYT=1; experiment, default off until the
 # TPU ABAB lands): the TPU-shaped analog of the reference's pop-time
@@ -189,12 +196,23 @@ _EARLYT = _os.environ.get("COSIG_EARLYT") == "1"
 # kernel_core.make_traverse's earlyt_occ note.
 _EARLYT_OCC = _os.environ.get("COSIG_EARLYT_OCC") == "1"
 
+# Window selection (COSIG_WSEL=1; experiment, default off until the TPU
+# ABAB lands): on the MXU path with sub-packets (S > 1), run ONE
+# full-width pair-test dot per visited cluster and the VPU winner
+# selection only on the lane windows whose cull bit is set — the
+# round-5 structural lever against packet pair-work inflation (see
+# kernel_core's use_wsel note and STATUS "Round-5 traversal analysis").
+# Exact: identical skip set to the existing per-window dispatch.
+# Pair best with COSIG_WF_SB=8 (finest windows, RS = Rb/8 >= 128).
+_WSEL = _os.environ.get("COSIG_WSEL") == "1"
+
 # Mean-first finalization (default on; COSIG_WF_MEANFIRST=0 reverts):
 # average the AA samples INSIDE each compaction group BEFORE the inverse
 # group gather. aa divides GROUP, so a pixel's samples never straddle a
 # group boundary and the gather moves bitwise the same numbers — just
 # aa x fewer of them (tools/perm_bench.py asserts bitwise equality;
-# tests/test_wavefront.py gates it end-to-end).
+# tests/test_pallas.py::test_wavefront_meanfirst_exact gates it
+# end-to-end).
 _MEANFIRST = _os.environ.get("COSIG_WF_MEANFIRST", "1") != "0"
 
 
@@ -308,7 +326,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state, best_ref, flag_vmem, flags_smem,
                list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-               bounds_vmem, bounds_smem, cnt_smem, bsem,
+               bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
                sh_flag_vmem, sh_flags_smem, sh_list_smem):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -412,6 +430,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
             cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
             earlyt_occ=_EARLYT_OCC,
+            wsel_vmem=wsel_vmem if _WSEL and mxu else None,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
@@ -469,7 +488,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
              sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
              sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
              list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-             bounds_vmem, bounds_smem, cnt_smem, bsem,
+             bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
              sh_flag_vmem, sh_flags_smem, sh_list_smem):
         """One bounce on ``state`` (a (SROWS, R) VMEM ref), shared by the
         blocked and self-skip kernel forms below."""
@@ -493,6 +512,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
             bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
             cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
             earlyt_occ=_EARLYT_OCC,
+            wsel_vmem=wsel_vmem if _WSEL and mxu else None,
             frustum=bounce_frustum,
         )
         traverse_shadow = _make_shadow_traverse(
@@ -518,8 +538,8 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                    sh_sub_aabb_t, sh_geom, alive_bm, state_in, state_out,
                    best_ref, flag_vmem, flags_smem, list_smem, sem,
                    sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-                   bounds_vmem, bounds_smem, cnt_smem, bsem, sh_flag_vmem,
-                   sh_flags_smem, sh_list_smem, st_vmem, ssem):
+                   bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
+                   sh_flag_vmem, sh_flags_smem, sh_list_smem, st_vmem, ssem):
             # Self-skip form (_SELFSKIP note): state_in/state_out are the
             # FULL (SROWS, n_pad) array as unblocked HBM operands (aliased
             # in place); ``alive_bm`` is the per-tile alive bitmap in
@@ -539,7 +559,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                      sh_sb_aabb_t, sh_sub_aabb_t, sh_geom, best_ref,
                      flag_vmem, flags_smem, list_smem, sem, sbflag_vmem,
                      sb_smem, gbuf, gsem, raysmx, bounds_vmem, bounds_smem,
-                     cnt_smem, bsem, sh_flag_vmem,
+                     cnt_smem, bsem, wsel_vmem, sh_flag_vmem,
                      sh_flags_smem, sh_list_smem)
                 cpo = pltpu.make_async_copy(
                     st_vmem, state_out.at[:, pl.ds(tile * R, R)], ssem
@@ -553,7 +573,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state_in, state_out, best_ref, flag_vmem,
                flags_smem, list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem,
-               raysmx, bounds_vmem, bounds_smem, cnt_smem, bsem,
+               raysmx, bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
                sh_flag_vmem, sh_flags_smem, sh_list_smem):
         # The output block is the working ref (readable after write in
         # Pallas VMEM); one copy-in replaces the old in -> scratch -> out
@@ -568,7 +588,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                  sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
                  sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
                  list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-                 bounds_vmem, bounds_smem, cnt_smem, bsem,
+                 bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
                  sh_flag_vmem, sh_flags_smem, sh_list_smem)
 
     return kernel
@@ -710,6 +730,10 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
         pltpu.SMEM((9, C_pad), jnp.float32),
         pltpu.SMEM((1, 128), jnp.int32),
         pltpu.SemaphoreType.DMA,
+        # WSEL full-width dot scratch (kernel_core use_wsel note): the
+        # (5K, R) pair-test output, so per-window selection reads are
+        # fresh aligned ref loads. Dummy when the knob is off.
+        pltpu.VMEM((5 * K, R) if (_WSEL and mxu) else (8, 128), jnp.float32),
     ]
     geom_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms
@@ -929,7 +953,7 @@ def render_wavefront(
     lv_arr = jnp.array(levels, jnp.int32)
     group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
 
-    selfskip = _SELFSKIP and not interpret
+    selfskip = _SELFSKIP and (not interpret or _SELFSKIP_FORCE)
     if cfg.max_depth > 1:
         # Bounce-stage tile/sub-packet experiment knobs: COSIG_WF_RB sets
         # the bounce tile size (must divide the primary tile; default =
@@ -1002,6 +1026,7 @@ def render_wavefront(
                         ),
                         scratch_shapes=ss_scratch,
                         input_output_aliases={len(geom_specs) + 1: 0},
+                        interpret=interpret,
                         compiler_params=COMPILER_PARAMS,
                     )(uni_d, cset.mats, lights, prims, cset.aabb_t,
                       cset.sb_aabb_t, cset.sub_aabb_t, *geom_ins,
@@ -1017,7 +1042,10 @@ def render_wavefront(
                 )
                 return one_bounce_ss(st, uni_d)
 
-            if _os.environ.get("COSIG_WF_LOOP") == "py":
+            # Interpret always unrolls: interpret-mode pallas_call inside a
+            # lax loop miscomputes (the guard the compaction path documents
+            # below); unrolling costs nothing without Mosaic compiles.
+            if _os.environ.get("COSIG_WF_LOOP") == "py" or interpret:
                 for depth in range(1, cfg.max_depth):
                     state = depth_body_ss(jnp.int32(depth), state)
             else:

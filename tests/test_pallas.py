@@ -3,6 +3,8 @@
 The two backends share component-wise arithmetic ordering, so images must
 agree to fp32 ULP noise — not just statistically."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -577,6 +579,108 @@ def test_wavefront_meanfirst_exact(scene1, monkeypatch):
     img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
     assert float(r0) == float(r1)
     np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+
+
+def test_wavefront_selfskip_exact(scene1, monkeypatch):
+    """The SHIPPED bounce dispatch (self-skip: state fixed in pixel
+    order, grid over all tiles, dead tiles skip their own state DMA off
+    the SMEM alive bitmap) must be BIT-identical to the compaction path:
+    per-lane arithmetic never depends on tile order, culls are
+    conservative supersets, and the (t, gid) winner fold is partition
+    invariant. Interpret coverage runs the selfskip kernel form itself
+    (_SELFSKIP_FORCE) with the depth chain unrolled (the interpret-
+    pallas-in-while guard); hardware bits are separately gated by
+    tools/selfskip_verify.py (round-4 run green, glass + large shapes)
+    and test_selfskip_verify_tpu below."""
+    from cosig_tpu.ops import trace_wavefront
+
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(64, 64), max_depth=3, aa_samples=4,
+        enable_soft_shadows=True, light_size=5.0,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    monkeypatch.setattr(trace_wavefront, "_SELFSKIP", False)
+    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.setattr(trace_wavefront, "_SELFSKIP", True)
+    monkeypatch.setattr(trace_wavefront, "_SELFSKIP_FORCE", True)
+    img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+    # Auto-Rb invariance on the selfskip path: the bounce tile size must
+    # not change bits (dead-tile skip granularity only).
+    img2, r2 = trace_wavefront.render_wavefront(
+        cs, params, cfg, interpret=True, tile_rays=2048
+    )
+    assert float(r0) == float(r2)
+    np.testing.assert_array_equal(np.asarray(img2), np.asarray(base))
+
+
+@pytest.mark.slow
+def test_selfskip_verify_tpu():
+    """Hardware bitwise gate for the shipped selfskip dispatch: runs
+    tools/selfskip_verify.py on the real TPU (axon tunnel) when one is
+    reachable; skips on CPU-only environments. Slow-marked so `-m ""`
+    exercises the default path end-to-end on hardware."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.default_backend())"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    if probe.returncode != 0 or "tpu" not in probe.stdout:
+        pytest.skip(f"no TPU backend reachable: {probe.stdout!r}")
+    run = subprocess.run(
+        [sys.executable, "/root/repo/tools/selfskip_verify.py"],
+        capture_output=True, text=True, timeout=7200, env=env,
+        cwd="/root/repo",
+    )
+    assert run.returncode == 0, (run.stdout[-2000:], run.stderr[-2000:])
+    assert "bitwise-equal: True" in run.stdout, run.stdout[-2000:]
+
+
+def test_wavefront_wsel_exact(scene1, monkeypatch):
+    """Window selection (COSIG_WSEL — one full-width MXU pair dot per
+    visited cluster, VPU winner selection only on cull-flagged lane
+    windows; kernel_core use_wsel note) must be BIT-identical: the
+    selection is lane-local and the skipped windows are exactly the
+    existing sub-packet dispatch's skip set. Runs under forced-MXU
+    interpret (the WSEL path is MXU-only), incl. the finest bounce
+    windows (Sb=8 -> RS=128)."""
+    from cosig_tpu.ops import trace_wavefront
+
+    monkeypatch.setenv("COSIG_MXU", "force")
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(64, 64), max_depth=3, aa_samples=4,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    monkeypatch.setattr(trace_wavefront, "_WSEL", False)
+    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    monkeypatch.setattr(trace_wavefront, "_WSEL", True)
+    img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+    monkeypatch.setenv("COSIG_WF_SB", "8")  # finest bounce windows
+    img2, r2 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r2)
+    np.testing.assert_array_equal(np.asarray(img2), np.asarray(base))
+    # Bounce-stage frustum culls (COSIG_BOUNCE_FRUSTUM; conservative
+    # superset over the selfskip-era pixel-order bounce tiles) compose
+    # with WSEL and must also be bit-exact.
+    monkeypatch.setenv("COSIG_BOUNCE_FRUSTUM", "1")
+    img3, r3 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r3)
+    np.testing.assert_array_equal(np.asarray(img3), np.asarray(base))
 
 
 def test_wavefront_earlyt_exact(scene1, monkeypatch):
