@@ -61,6 +61,16 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     params = frame_params(scene, settings)
     cfg = static_config(scene, settings)
 
+    # COSIG_DEPTH: max-depth override for attribution sweeps (the r4
+    # COSIG_STUB=mt decomposition was liveness-confounded — stubbed pair
+    # tests make every ray miss, killing all bounce stages; depth-1
+    # frames with stubs + full-frame depth increments attribute cleanly).
+    _ed = os.environ.get("COSIG_DEPTH")
+    if _ed:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, max_depth=int(_ed))
+
     interpret = jax.default_backend() == "cpu"
 
     from cosig_tpu.models.soa import materials_host

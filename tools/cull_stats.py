@@ -97,6 +97,52 @@ def main():
               f"  (pair-work x{pkt_visited.mean() / max(needed.mean(), 1e-9):.1f}"
               f" vs per-ray ideal)")
 
+    # WSEL predictor (kernel_core use_wsel note): lanes enumerated EXACTLY
+    # like the kernel (_primary_block / _quad_grid, consecutive-lane AA
+    # samples share a pixel, so a w-lane window = w/aa raster-consecutive
+    # pixels of a quad). Per tile size R and window count S: cluster
+    # visits (union over the tile = the DOT count / today's S=1 dispatch
+    # count) vs flagged (window, cluster) pairs (the WSEL SELECTION
+    # count; x w lanes = fine-grained pair work).
+    from cosig_tpu.ops.trace_wavefront import _primary_block, _quad_grid
+    aa = max(1, cfg.aa_samples)
+    print(f"\nWSEL window stats (aa={aa}, lane enumeration = kernel's):")
+    for R in (1024, 4096):
+        bh, bw = _primary_block(aa, R)
+        sq = min(8, R // 1024) or 1
+        sqh, sqw = _quad_grid(max(1, sq))
+        nby, nbx = small.height // bh, small.width // bw
+        if nby == 0 or nbx == 0:
+            continue
+        qh, qw = bh // sqh, bw // sqw
+        # pixel index -> (tile, lane) following the kernel enumeration
+        ys2, xs2 = np.mgrid[0:nby * bh, 0:nbx * bw]
+        tile = (ys2 // bh) * nbx + (xs2 // bw)
+        quad = ((ys2 % bh) // qh) * sqw + ((xs2 % bw) // qw)
+        q = ((ys2 % bh) % qh) * qw + ((xs2 % bw) % qw)
+        lane_px = quad * (qh * qw) + q  # pixel slot in tile (x aa = lane)
+        flat = (tile * (bh * bw) + lane_px).ravel()
+        order = np.argsort(flat)
+        ps = pass_slab[: nby * bh * nbx * bw]  # rays are row-major pixels
+        ps = ps.reshape(small.height, small.width, C)[
+            : nby * bh, : nbx * bw
+        ].reshape(-1, C)[order]
+        n_tiles = nby * nbx
+        ppt = bh * bw  # pixels per tile
+        ps = ps.reshape(n_tiles, ppt, C)
+        tile_u = ps.any(axis=1)
+        dots = tile_u.sum(axis=1).mean()
+        for S in (4, 8, 16, 32):
+            wpx = ppt // S  # pixels per window (= R/S lanes / aa)
+            if wpx * aa < 128:
+                continue
+            wu = ps.reshape(n_tiles, S, wpx, C).any(axis=2)
+            selw = wu.sum(axis=(1, 2)).mean()
+            print(f"  R={R:5d} (tile {bh}x{bw}px): dots/tile {dots:6.2f}  "
+                  f"S={S:2d} ({wpx * aa:4d}-lane win): sel-windows/tile "
+                  f"{selw:7.2f}  sel-lane-work vs S=1 "
+                  f"x{selw / (S * dots):.2f}")
+
 
 if __name__ == "__main__":
     main()

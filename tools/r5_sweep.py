@@ -1,0 +1,194 @@
+"""Round-5 same-window experiment sweep.
+
+Runs bench.py in subprocesses (env knobs are read at import) and appends
+one JSON line per run to tools/r5_sweep_results.jsonl. Rows within a
+stage run back-to-back so comparisons stay same-window (CLAUDE.md tunnel
+hazard #3); anchors are interleaved ABAB where the comparison matters.
+
+Concurrency guard (round-4 VERDICT weak #4: two raced sweep processes
+produced a corrupted 79.8 ms row): an exclusive flock on the results
+file's .lock twin is held for the WHOLE run — a second runner exits
+immediately with a clear message instead of contaminating the chip.
+
+Rows run from a frozen snapshot worktree when present (live edits broke
+a round-4 stage):  git worktree add .r5snap HEAD --detach
+
+Stages:
+  health   — tpu_health probe row (run before trusting any stage).
+  wsel     — window-selection ABAB (COSIG_WSEL; kernel_core use_wsel
+             note) on glass + large, incl. finer bounce windows
+             (Sb8 / Rb1024+Sb8). Gate first: test_wavefront_wsel_exact
+             is in the fast suite; hardware bits via wsel_verify.
+  wselK    — cluster-size re-test UNDER wsel (selection cost is ∝ K per
+             flagged window, so wsel shifts the K optimum down).
+  etlarge  — early-t on large_mesh (the r4 Mosaic crash is fixed:
+             tools/repro_earlyt_multitile.py); front-to-back + best-t
+             skip should bite hardest at 12k tris.
+  occlarge — clean EARLYT_OCC ABAB on large (r4 rows adjudicated as a
+             raced artifact; expectation: flat).
+  d1       — depth-1 stub attribution (no bounce stages -> no liveness
+             confound): full / no-mt / sel-only / no-visit / no-trav /
+             no-shadow per config.
+  depths   — full frames at d=1..max: per-depth increments = true
+             per-bounce cost at real liveness.
+  bench    — one-window bench --all refresh (updates bench_details.json
+             at the repo root; run LAST, needs RMSE, no stubs).
+
+Usage: python tools/r5_sweep.py [health|wsel|wselK|etlarge|occlarge|d1|depths|bench ...]
+"""
+
+import fcntl
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(os.path.dirname(__file__), "r5_sweep_results.jsonl")
+LOCK = OUT + ".lock"
+SNAP = os.path.join(REPO, ".r5snap")
+NEW_CWD = SNAP if os.path.isdir(SNAP) else REPO
+
+W = {"COSIG_WSEL": "1"}
+W8 = {"COSIG_WSEL": "1", "COSIG_WF_SB": "8"}
+
+# (label, config, env, cwd) — cwd None = snapshot/new code.
+STAGES = {
+    "wsel": [
+        ("glass-base-1", "glass_sphere", {}, None),
+        ("glass-wsel", "glass_sphere", dict(W), None),
+        ("glass-base-2", "glass_sphere", {}, None),
+        ("glass-wsel-Sb8", "glass_sphere", dict(W8), None),
+        ("large-base-1", "large_mesh", {}, None),
+        ("large-wsel", "large_mesh", dict(W), None),
+        ("large-base-2", "large_mesh", {}, None),
+        ("large-wsel-Sb8", "large_mesh", dict(W8), None),
+        ("large-wsel-Rb1024-Sb8", "large_mesh",
+         dict(W8, COSIG_WF_RB="1024"), None),
+        ("large-base-3", "large_mesh", {}, None),
+    ],
+    "wselK": [
+        ("large-wsel-K64-1", "large_mesh", dict(W8), None),
+        ("large-wsel-K32", "large_mesh", dict(W8, COSIG_K="32"), None),
+        ("large-wsel-K64-2", "large_mesh", dict(W8), None),
+        ("glass-wsel-K32-1", "glass_sphere", dict(W8), None),
+        ("glass-wsel-K16", "glass_sphere",
+         dict(W8, COSIG_K="16", COSIG_WF_RB="1024"), None),
+        ("glass-wsel-K32-2", "glass_sphere", dict(W8), None),
+    ],
+    # Bounce-stage frustum culling retest UNDER SELFSKIP: the knob was
+    # built (and shelved) when bounce packets were octant-sorted
+    # compaction groups with mixed origins; selfskip keeps bounce tiles
+    # in PIXEL order, so their origin hulls are raster quads again —
+    # the regime where frustum culls are tight. Exact (conservative
+    # superset; the env var only changes cull width).
+    "bfrust": [
+        ("glass-bf-off-1", "glass_sphere", {}, None),
+        ("glass-bf-on", "glass_sphere", {"COSIG_BOUNCE_FRUSTUM": "1"}, None),
+        ("glass-bf-off-2", "glass_sphere", {}, None),
+        ("glass-bf-wsel8", "glass_sphere",
+         dict(W8, COSIG_BOUNCE_FRUSTUM="1"), None),
+        ("large-bf-off-1", "large_mesh", {}, None),
+        ("large-bf-on", "large_mesh", {"COSIG_BOUNCE_FRUSTUM": "1"}, None),
+        ("large-bf-off-2", "large_mesh", {}, None),
+    ],
+    "etlarge": [
+        ("large-et-off-1", "large_mesh", {}, None),
+        ("large-et-on-1", "large_mesh", {"COSIG_EARLYT": "1"}, None),
+        ("large-et-off-2", "large_mesh", {}, None),
+        ("large-et-on-2", "large_mesh", {"COSIG_EARLYT": "1"}, None),
+    ],
+    "occlarge": [
+        ("large-occ-off-1", "large_mesh", {}, None),
+        ("large-occ-on-1", "large_mesh", {"COSIG_EARLYT_OCC": "1"}, None),
+        ("large-occ-off-2", "large_mesh", {}, None),
+        ("large-occ-on-2", "large_mesh", {"COSIG_EARLYT_OCC": "1"}, None),
+    ],
+    "d1": [
+        ("glass-d1-full", "glass_sphere", {"COSIG_DEPTH": "1"}, None),
+        ("glass-d1-nomt", "glass_sphere",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "mt"}, None),
+        ("glass-d1-dotonly", "glass_sphere",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "sel"}, None),
+        ("glass-d1-novisit", "glass_sphere",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "visit"}, None),
+        ("glass-d1-notrav", "glass_sphere",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "trav"}, None),
+        ("glass-d1-noshadow", "glass_sphere",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "shadow"}, None),
+        ("glass-d1-full-2", "glass_sphere", {"COSIG_DEPTH": "1"}, None),
+        ("large-d1-full", "large_mesh", {"COSIG_DEPTH": "1"}, None),
+        ("large-d1-nomt", "large_mesh",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "mt"}, None),
+        ("large-d1-dotonly", "large_mesh",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "sel"}, None),
+        ("large-d1-novisit", "large_mesh",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "visit"}, None),
+        ("large-d1-noshadow", "large_mesh",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "shadow"}, None),
+        ("large-d1-full-2", "large_mesh", {"COSIG_DEPTH": "1"}, None),
+    ],
+    "depths": (
+        [(f"glass-d{d}", "glass_sphere", {"COSIG_DEPTH": str(d)}, None)
+         for d in range(1, 7)]
+        + [(f"large-d{d}", "large_mesh", {"COSIG_DEPTH": str(d)}, None)
+           for d in range(1, 5)]
+    ),
+}
+
+
+def run_one(label: str, config: str, env_extra: dict, cwd=None) -> dict:
+    env = dict(os.environ, COSIG_BENCH_NO_RMSE="1", **env_extra)
+    backend = env.pop("COSIG_SWEEP_BACKEND", "wavefront")
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--config", config,
+         "--backend", backend, "--emit-details"],
+        capture_output=True, text=True, timeout=2400, env=env,
+        cwd=cwd or NEW_CWD,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+    try:
+        rec = json.loads(line)
+    except json.JSONDecodeError:
+        rec = {"error": (out.stderr or out.stdout)[-400:]}
+    if "ms_per_frame" not in rec and "error" not in rec:
+        rec["error"] = (out.stderr or out.stdout)[-400:] or "empty output"
+    rec.update(label=label, env=env_extra, wall_s=round(time.time() - t0, 1),
+               ts=time.strftime("%H:%M:%S"), code="r5")
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    keys = ("ms_per_frame", "mrays_per_s", "compile_s", "image_mean")
+    print(label, {k: rec.get(k) for k in keys}, flush=True)
+    return rec
+
+
+def main():
+    lock = open(LOCK, "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print("another sweep holds the lock — refusing to race the chip "
+              "(r4 'large-occ-on' artifact); wait or kill it first",
+              file=sys.stderr)
+        sys.exit(3)
+    for stage in sys.argv[1:] or ["wsel"]:
+        if stage == "health":
+            subprocess.run(
+                [sys.executable, os.path.join("tools", "tpu_health.py")],
+                cwd=REPO,
+            )
+            continue
+        if stage == "bench":
+            subprocess.run(
+                [sys.executable, "bench.py", "--all"], cwd=NEW_CWD,
+            )
+            continue
+        print(f"=== {stage} ===", flush=True)
+        for label, config, env, cwd in STAGES[stage]:
+            run_one(label, config, env, cwd)
+
+
+if __name__ == "__main__":
+    main()
