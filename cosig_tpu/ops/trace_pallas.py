@@ -33,6 +33,7 @@ Shading semantics are the same quirk-preserving rules as
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +85,27 @@ from cosig_tpu.ops.kernel_core import STREAM_THRESHOLD_BYTES  # noqa: F401
 
 STATE_ROWS = 16  # shared ray-state layout (kernel_core ROW_* contract)
 
+# MXU pair tests in the megakernel (same rule as the wavefront's
+# _stage_resources: compiled-TPU default ON for unstreamed geometry,
+# COSIG_MXU=0 reverts, "force" enables under interpret for CPU gates).
+# Full mode only — closest-hit AND any-hit ride the MXU; the megakernel
+# runs both through one traverse closure with disjoint staging bands.
+_MXU_ENV = _os.environ.get("COSIG_MXU", "1")
+
+# Window selection (COSIG_WSEL; kernel_core use_wsel note) — composes
+# with the MXU path here exactly as in the wavefront. Needs S > 1; pick
+# finer sub-packets via COSIG_MEGA_S.
+_WSEL = _os.environ.get("COSIG_WSEL") == "1"
+
+
+def _use_mxu(cset, stream: bool, interpret: bool) -> bool:
+    return (
+        not stream
+        and cset.geom_mx is not None
+        and _MXU_ENV != "0"
+        and (not interpret or _MXU_ENV == "force")
+    )
+
 
 def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
     """Sub-packet layout for a tile -> (S, quad_rows, quad_cols).
@@ -91,10 +113,23 @@ def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
     One sub-packet per 1024 lanes (the trace_wavefront super-tile rule:
     finer masks lose to scalar branch costs, coarser ones re-inflate pair
     work). Sub-packets are static lane slices, so R/S must be a 128
-    multiple; quads must divide the tile shape evenly."""
+    multiple; quads must divide the tile shape evenly.
+
+    COSIG_MEGA_S overrides the sub-packet count (e.g. 8 on the default
+    32x32 tile -> 128-lane windows) — the granularity WSEL selection
+    wants; without WSEL, finer masks cost more per-visit dispatches."""
     del c_pad
     R = tile_h * tile_w
-    for S, sqh, sqw in ((8, 4, 2), (4, 2, 2), (2, 2, 1)):
+    shapes = {8: (4, 2), 4: (2, 2), 2: (2, 1), 1: (1, 1)}
+    ov = int(_os.environ.get("COSIG_MEGA_S", "0"))
+    if ov:
+        sqh, sqw = shapes[ov]
+        assert (
+            (R // ov) % 128 == 0 and tile_h % sqh == 0 and tile_w % sqw == 0
+        ), (tile_h, tile_w, ov)
+        return ov, sqh, sqw
+    for S in (8, 4, 2):
+        sqh, sqw = shapes[S]
         if (
             R // S == 1024
             and tile_h % sqh == 0
@@ -106,7 +141,7 @@ def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
 
 def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, nbx: int,
                  tile_w: int, tile_h: int, stream: bool, prim_counts=(0, 0),
-                 n_subg: int = 1):
+                 n_subg: int = 1, mxu: bool = False, wsel: bool = False):
     """Build the megakernel body (all static config closed over)."""
 
     width, height = cfg.width, cfg.height
@@ -119,8 +154,9 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
 
     def kernel(
         uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t, geom,
+        geom_mx, gatt,
         out_ref, best_ref, state, flag_vmem, flags_smem, list_smem, sem,
-        gbuf, gsem, sbflag_vmem, sb_smem,
+        gbuf, gsem, sbflag_vmem, sb_smem, raysmx, wsel_vmem,
     ):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -147,11 +183,17 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
         ortho_w = ortho_h * F(width / height)
         shutter = uniforms[U_SHUTTER]
 
+        mx_kw = dict(
+            geom_mx=geom_mx if mxu else None,
+            gatt=gatt if mxu else None,
+            raysmx=raysmx, mxu_anyhit=True,
+            wsel_vmem=wsel_vmem if (mxu and wsel) else None,
+        )
         traverse = make_traverse(
             aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
             list_smem, sem, sbflag_vmem, sb_smem, C, C_pad, K, R,
             gbuf=gbuf, gsem=gsem, stream=stream, subpackets=S,
-            prims=prims, n_sph=n_sph, n_box=n_box,
+            prims=prims, n_sph=n_sph, n_box=n_box, **mx_kw,
         )
         # Depth 0 traces coherent camera packets: frustum-cull them
         # (kernel_core docstring); bounce rays keep the per-ray cull.
@@ -163,7 +205,7 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
             # The megakernel's frustum and per-ray traversals share ONE
             # geometry ref, so the subgroup-major layout can't apply here;
             # subgroup visits are a wavefront-only optimization.
-            sub_aabb_t=sub_aabb_t, subgroups=1,
+            sub_aabb_t=sub_aabb_t, subgroups=1, **mx_kw,
         )
 
         # ------------------------------------------------------------------
@@ -313,9 +355,12 @@ def render_clusters(
         stream = int(cset.geom.size) * 4 > STREAM_THRESHOLD_BYTES
     if prims is None:
         prims = jnp.zeros((1, 22), jnp.float32)
+    mxu = _use_mxu(cset, stream, interpret)
+    S_grid, _, _ = _subpacket_grid(tile_h, tile_w, C_pad)
+    wsel = _WSEL and mxu and S_grid > 1
     kernel = _make_kernel(
         cfg, C, C_pad, K, M, L, nbx, tile_w, tile_h, stream, prim_counts,
-        cset.subgroups,
+        cset.subgroups, mxu=mxu, wsel=wsel,
     )
     geom_in = cset.geom
     if stream:
@@ -326,6 +371,14 @@ def render_clusters(
         geom_in = jnp.pad(
             cset.geom, ((0, 0), (0, 0), (0, 128 - cl.GEOM_COMPS))
         )
+    # MXU operands (same convention as the wavefront's _stage_resources):
+    # full mode replaces the 36-col geometry with an unread dummy.
+    if mxu:
+        geom_in = jnp.zeros((1, 8, 128), jnp.float32)
+        mx_in, att_in = cset.geom_mx, cset.gatt
+    else:
+        mx_in = jnp.zeros((1, 16, cl.MX_COLS), jnp.bfloat16)
+        att_in = jnp.zeros((1, 3 * cl.ATT_ROWS, 8), jnp.bfloat16)
 
     out = pl.pallas_call(
         kernel,
@@ -342,8 +395,13 @@ def render_clusters(
             pl.BlockSpec(
                 memory_space=pltpu.HBM
             ) if stream else pl.BlockSpec(
-                (C, K, cl.GEOM_COMPS), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                tuple(geom_in.shape), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(tuple(mx_in.shape), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(att_in.shape), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n_tiles * R), jnp.float32),
@@ -358,11 +416,15 @@ def render_clusters(
             pltpu.SemaphoreType.DMA((2,)),        # stream semaphores
             pltpu.VMEM((1, 128), jnp.int32),      # superblock flags (vector)
             pltpu.SMEM((1, 128), jnp.int32),      # superblock flags (scalar)
+            # MXU limb staging: disjoint closest/any-hit bands (full mode).
+            pltpu.VMEM((128, R) if mxu else (16, 128), jnp.bfloat16),
+            # WSEL full-width dot scratch (kernel_core use_wsel note).
+            pltpu.VMEM((5 * K, R) if wsel else (8, 128), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,
     )(uniforms, cset.mats, lights, prims, cset.aabb_t, cset.sb_aabb_t,
-      cset.sub_aabb_t, geom_in)
+      cset.sub_aabb_t, geom_in, mx_in, att_in)
 
     # Un-tile (quad-major lane order, see _make_kernel):
     # [4, nby, nbx, sqh, sqw, qh, qw] -> [H, W, 4]; rgb + ray count.

@@ -683,6 +683,34 @@ def test_wavefront_wsel_exact(scene1, monkeypatch):
     np.testing.assert_array_equal(np.asarray(img3), np.asarray(base))
 
 
+def test_megakernel_mxu_wsel_exact(scene1, monkeypatch):
+    """The megakernel's round-5 MXU wiring: sub-packet granularity
+    (COSIG_MEGA_S) and window selection (COSIG_WSEL) must be BIT-
+    identical to the megakernel's plain MXU path — same arguments as
+    the wavefront gates (sub-packet skip set; lane-local selection).
+    Cross-backend MXU equality on hardware is gated by
+    tools/wsel_verify.py + tools/mxu_verify.py."""
+    from cosig_tpu.ops import trace_pallas
+
+    monkeypatch.setattr(trace_pallas, "_MXU_ENV", "force")
+    st = cosig_tpu.RenderSettings(
+        resolution_override=(48, 32), max_depth=2, aa_samples=2,
+    )
+    arrays = compile_scene(scene1)
+    params = frame_params(scene1, st)
+    cfg = static_config(scene1, st)
+    cs = build_clusters(arrays)
+    base, r0 = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    monkeypatch.setenv("COSIG_MEGA_S", "8")
+    img, r1 = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r1)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+    monkeypatch.setattr(trace_pallas, "_WSEL", True)
+    img2, r2 = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
+    assert float(r0) == float(r2)
+    np.testing.assert_array_equal(np.asarray(img2), np.asarray(base))
+
+
 def test_wavefront_earlyt_exact(scene1, monkeypatch):
     """Early-t cluster skip (COSIG_EARLYT — front-to-back visit order +
     best-t visit skip, kernel_core earlyt note) must be BIT-identical:

@@ -105,6 +105,24 @@ STAGES = {
         ("large-occ-off-2", "large_mesh", {}, None),
         ("large-occ-on-2", "large_mesh", {"COSIG_EARLYT_OCC": "1"}, None),
     ],
+    # Megakernel with MXU (round-5 wiring) vs the wavefront flagship:
+    # zero inter-stage HBM state traffic, tile-level dead skip. The r4
+    # "mega" stage never ran (tunnel died); this is its MXU-era debut.
+    "mega": [
+        ("glass-wf-1", "glass_sphere", {}, None),
+        ("glass-mega", "glass_sphere",
+         {"COSIG_SWEEP_BACKEND": "pallas"}, None),
+        ("glass-mega-wsel8", "glass_sphere",
+         {"COSIG_SWEEP_BACKEND": "pallas", "COSIG_WSEL": "1",
+          "COSIG_MEGA_S": "8"}, None),
+        ("glass-wf-2", "glass_sphere", {}, None),
+        ("large-mega", "large_mesh",
+         {"COSIG_SWEEP_BACKEND": "pallas"}, None),
+        ("large-mega-wsel8", "large_mesh",
+         {"COSIG_SWEEP_BACKEND": "pallas", "COSIG_WSEL": "1",
+          "COSIG_MEGA_S": "8"}, None),
+        ("large-wf-1", "large_mesh", {}, None),
+    ],
     "d1": [
         ("glass-d1-full", "glass_sphere", {"COSIG_DEPTH": "1"}, None),
         ("glass-d1-nomt", "glass_sphere",
