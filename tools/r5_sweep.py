@@ -68,6 +68,21 @@ STAGES = {
          dict(W8, COSIG_WF_RB="1024"), None),
         ("large-base-3", "large_mesh", {}, None),
     ],
+    # Finer PRIMARY tile under WSEL: selection is per-128-lane window at
+    # R=1024+S8 (vs 512-lane at the default R=4096), halving large's
+    # selection lanes at equal dot economy (cull_stats: 49.19x128 vs
+    # 94.25x512/4 per Kray) — affordable only now that WSEL decouples
+    # dot width from selection width. Costs 4x grid programs; the ABAB
+    # decides whether fixed per-program costs eat the win.
+    "wselR": [
+        ("large-wsel-R4096-1", "large_mesh", dict(W8), None),
+        ("large-wsel-R1024", "large_mesh",
+         dict(W8, COSIG_WF_R="1024"), None),
+        ("large-wsel-R4096-2", "large_mesh", dict(W8), None),
+        ("glass-wsel-R1024", "glass_sphere",
+         dict(W8, COSIG_WF_R="1024"), None),
+        ("glass-wsel-R4096", "glass_sphere", dict(W8), None),
+    ],
     "wselK": [
         ("large-wsel-K64-1", "large_mesh", dict(W8), None),
         ("large-wsel-K32", "large_mesh", dict(W8, COSIG_K="32"), None),
