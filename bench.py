@@ -255,6 +255,35 @@ def bench_config(name: str, backend: str, repeats: int = 5, quiet: bool = True):
     return result
 
 
+def _tunnel_probe(timeout_s: float = 300.0):
+    """Post-timing tunnel-health annotation -> us/tile or None.
+
+    The axon tunnel's throughput is non-stationary (CLAUDE.md hazard #3;
+    the round-5 pool sat at ~21,000-60,000 us/tile vs the ~200 workable
+    baseline for days). A headline taken in such a window collapses
+    ~100x with nothing in the output saying why — so after timing, probe
+    the tunnel in a SUBPROCESS (no readback contamination of this
+    process) and annotate the metric when the window is degraded."""
+    import subprocess
+
+    probe_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "tpu_health.py"
+    )
+    if not os.path.exists(probe_path):
+        return None
+    try:
+        out = subprocess.run(
+            [sys.executable, probe_path],
+            capture_output=True, text=True, timeout=timeout_s,
+        ).stdout
+    except Exception:
+        return None
+    import re
+
+    m = re.search(r"([\d.]+) us/tile", out or "")
+    return float(m.group(1)) if m else None
+
+
 def _device_watchdog(timeout_s: float = 600.0):
     """Fail fast (one JSON error line) if device enumeration hangs.
 
@@ -345,16 +374,24 @@ def main():
     else:
         metric = "Mrays/s glass_sphere (FAILED)"
         value = 0.0
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(value / TARGET_MRAYS, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / TARGET_MRAYS, 4),
+    }
+    if value > 0.0:
+        tunnel_us = _tunnel_probe()
+        if tunnel_us is not None:
+            rec["tunnel_us_per_tile"] = round(tunnel_us, 1)
+        if tunnel_us is None or tunnel_us > 2000.0:
+            state = ("unreachable" if tunnel_us is None
+                     else f"{tunnel_us:.0f} us/tile")
+            rec["metric"] += (
+                f" [tunnel degraded at measurement time: {state}; "
+                "healthy-window reference in bench_details.json]"
+            )
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

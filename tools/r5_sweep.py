@@ -108,6 +108,14 @@ STAGES = {
         ("large-bf-on", "large_mesh", {"COSIG_BOUNCE_FRUSTUM": "1"}, None),
         ("large-bf-off-2", "large_mesh", {}, None),
     ],
+    # The large half of `bfrust` — the tunnel died mid-stage (02:20)
+    # before these rows ran; glass half already adjudicated (rejected).
+    "bflarge": [
+        ("large-bf-off-1b", "large_mesh", {}, None),
+        ("large-bf-on-1", "large_mesh", {"COSIG_BOUNCE_FRUSTUM": "1"}, None),
+        ("large-bf-off-2b", "large_mesh", {}, None),
+        ("large-bf-on-2", "large_mesh", {"COSIG_BOUNCE_FRUSTUM": "1"}, None),
+    ],
     "etlarge": [
         ("large-et-off-1", "large_mesh", {}, None),
         ("large-et-on-1", "large_mesh", {"COSIG_EARLYT": "1"}, None),
@@ -217,6 +225,15 @@ def main():
             subprocess.run(
                 [sys.executable, "bench.py", "--all"], cwd=NEW_CWD,
             )
+            # --all writes bench_details.json relative to its cwd; when
+            # running from the frozen snapshot, publish it at the live
+            # repo root (where BENCH_rN/the judge look for it).
+            snap_details = os.path.join(NEW_CWD, "bench_details.json")
+            if NEW_CWD != REPO and os.path.exists(snap_details):
+                import shutil
+
+                shutil.copy(snap_details,
+                            os.path.join(REPO, "bench_details.json"))
             continue
         print(f"=== {stage} ===", flush=True)
         for label, config, env, cwd in STAGES[stage]:
