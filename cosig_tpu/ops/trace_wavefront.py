@@ -176,6 +176,21 @@ _SELFSKIP_ENV = _os.environ.get("COSIG_WF_SELFSKIP", "1")
 _SELFSKIP = _SELFSKIP_ENV != "0"
 _SELFSKIP_FORCE = _SELFSKIP_ENV == "force"
 
+# Depth-hybrid dispatch (COSIG_WF_HYBRID_D=T; experiment, default off
+# until the TPU ABAB lands): selfskip dispatch for bounce depths < T,
+# group compaction from depth T on. Why: the two schedules win in
+# opposite liveness regimes. Selfskip beat whole-chain compaction by
+# 21-22 % (r4) because early depths are near-fully alive — compacting
+# them is pure permutation I/O. But once liveness collapses AND the
+# survivors scatter across pixel-order tiles (large_mesh d2+: 9.5 %
+# alive spread over every tile), selfskip's tile bitmap stops biting
+# while compaction packs the survivors into a small dispatch prefix
+# (host predictor tools/bounce_stats.py: large d3 dots 796 -> 433).
+# Exact: both schedules are individually bitwise-gated, state at the
+# switch point is in pixel order either way, and the compaction chain's
+# first step covers the full extent (identical to its depth-1 cover).
+_HYBRID_D = int(_os.environ.get("COSIG_WF_HYBRID_D", "0"))
+
 # Early-t cluster skip (COSIG_EARLYT=1; experiment, default off until the
 # TPU ABAB lands): the TPU-shaped analog of the reference's pop-time
 # best-t early-out (BVHRayTracing.compute:255-258) — closest-hit
@@ -954,6 +969,7 @@ def render_wavefront(
     group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
 
     selfskip = _SELFSKIP and (not interpret or _SELFSKIP_FORCE)
+    hybrid = False  # reassigned in the bounce block (_HYBRID_D note)
     if cfg.max_depth > 1:
         # Bounce-stage tile/sub-packet experiment knobs: COSIG_WF_RB sets
         # the bounce tile size (must divide the primary tile; default =
@@ -979,21 +995,28 @@ def render_wavefront(
         assert R % Rb == 0 and Rb % 128 == 0, Rb
         Sb = int(_os.environ.get("COSIG_WF_SB", "0")) or _subpackets_for(Rb)
         assert Sb <= 8 and Rb % Sb == 0 and (Rb // Sb) % 128 == 0, (Rb, Sb)
-        kernels = (
-            [_make_bounce_kernel(cfg, dims, stream, prim_counts, Sb, Rb,
-                                 mode=m, decode=decode, sh_dims=sh_dims,
-                                 selfskip=selfskip)
-             for m in ("trace", "shade")]
-            if fission
-            else [_make_bounce_kernel(cfg, dims, stream, prim_counts,
-                                      Sb, Rb, decode=decode,
-                                      sh_dims=sh_dims, selfskip=selfskip)]
-        )
+        def _mk_kernels(ss):
+            return (
+                [_make_bounce_kernel(cfg, dims, stream, prim_counts, Sb, Rb,
+                                     mode=m, decode=decode, sh_dims=sh_dims,
+                                     selfskip=ss)
+                 for m in ("trace", "shade")]
+                if fission
+                else [_make_bounce_kernel(cfg, dims, stream, prim_counts,
+                                          Sb, Rb, decode=decode,
+                                          sh_dims=sh_dims, selfskip=ss)]
+            )
+
         b_scratch = (
             scratch if Rb == R
             else _stage_resources(cset, stream, Rb, frustum=bounce_frustum,
                                   interpret=interpret)[3] + sh_scratch
         )
+
+        # Depth-hybrid split point (_HYBRID_D note): selfskip covers
+        # bounce depths [1, ss_until), compaction [ss_until, max_depth).
+        hybrid = selfskip and 2 <= _HYBRID_D < cfg.max_depth
+        ss_until = _HYBRID_D if hybrid else cfg.max_depth
 
         if selfskip:
             # ---- self-skip dispatch (_SELFSKIP note): no compaction, no
@@ -1001,6 +1024,7 @@ def render_wavefront(
             # all tiles, dead tiles skip their state DMA via the SMEM
             # alive bitmap. group_perm stays identity (state never moves),
             # so the final inverse gather is skipped too. ----
+            kernels_ss = _mk_kernels(True)
             nbk = n_pad // Rb
             ss_scratch = b_scratch + [
                 pltpu.VMEM((SROWS, Rb), jnp.float32),
@@ -1012,7 +1036,7 @@ def render_wavefront(
                     (st[12].reshape(nbk, Rb) > F(0.5)).any(axis=1)
                     .astype(jnp.int32).reshape(1, nbk)
                 )
-                for kn in kernels:
+                for kn in kernels_ss:
                     st = pl.pallas_call(
                         kn,
                         grid=(nbk,),
@@ -1046,13 +1070,16 @@ def render_wavefront(
             # lax loop miscomputes (the guard the compaction path documents
             # below); unrolling costs nothing without Mosaic compiles.
             if _os.environ.get("COSIG_WF_LOOP") == "py" or interpret:
-                for depth in range(1, cfg.max_depth):
+                for depth in range(1, ss_until):
                     state = depth_body_ss(jnp.int32(depth), state)
             else:
                 state = jax.lax.fori_loop(
-                    1, cfg.max_depth, depth_body_ss, state
+                    1, ss_until, depth_body_ss, state
                 )
-        else:
+        if (not selfskip) or hybrid:
+            kernels = _mk_kernels(False)
+            cp_from = ss_until if hybrid else 1
+
             def run_prefix(st, uni_d, pt):
                 # Compiled: the full state array is passed through with the
                 # state input ALIASED to the output (index len(geom_specs) =
@@ -1160,12 +1187,12 @@ def render_wavefront(
                 interpret_unroll = interpret
             carry = (state, group_perm, jnp.int32(len(levels) - 1))
             if interpret_unroll or force_unroll or wf_loop == "py":
-                for depth in range(1, cfg.max_depth):
+                for depth in range(cp_from, cfg.max_depth):
                     carry = depth_body(jnp.int32(depth), carry)
                 state, group_perm, _ = carry
             else:
                 state, group_perm, _ = jax.lax.fori_loop(
-                    1, cfg.max_depth, depth_body, carry,
+                    cp_from, cfg.max_depth, depth_body, carry,
                 )
 
     # ---- restore pixel order (inverse group permutation, one cheap group
@@ -1190,7 +1217,7 @@ def render_wavefront(
     sqh, sqw = _quad_grid(subpackets)
     qh, qw = bh // sqh, bw // sqw
     meanfirst = _MEANFIRST and GROUP % aa == 0
-    if cfg.max_depth > 1 and not selfskip:
+    if cfg.max_depth > 1 and ((not selfskip) or hybrid):
         g_total = n_pad // GROUP
         inv = jnp.argsort(group_perm)
         if meanfirst:

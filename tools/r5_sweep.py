@@ -116,6 +116,25 @@ STAGES = {
         ("large-bf-off-2b", "large_mesh", {}, None),
         ("large-bf-on-2", "large_mesh", {"COSIG_BOUNCE_FRUSTUM": "1"}, None),
     ],
+    # Depth-hybrid dispatch (COSIG_WF_HYBRID_D=T: selfskip depths < T,
+    # compaction from T on; trace_wavefront _HYBRID_D note). Host
+    # predictor (tools/bounce_stats.py): large d2+ has 9.5 % liveness
+    # scattered over every pixel-order tile (d3 dots 796 pixel-order vs
+    # 433 compacted), so compacting ONLY the collapsed depths buys the
+    # prefix dispatch without selfskip's d1 win being given back.
+    # Glass's bounce tail (d2-5, 3.8 % alive) sizes the same idea on the
+    # headline config.
+    "hybrid": [
+        ("large-hyb-off-1", "large_mesh", {}, None),
+        ("large-hyb2", "large_mesh", {"COSIG_WF_HYBRID_D": "2"}, None),
+        ("large-hyb-off-2", "large_mesh", {}, None),
+        ("large-hyb3", "large_mesh", {"COSIG_WF_HYBRID_D": "3"}, None),
+        ("large-hyb-off-3", "large_mesh", {}, None),
+        ("glass-hyb-off-1", "glass_sphere", {}, None),
+        ("glass-hyb2", "glass_sphere", {"COSIG_WF_HYBRID_D": "2"}, None),
+        ("glass-hyb-off-2", "glass_sphere", {}, None),
+        ("glass-hyb3", "glass_sphere", {"COSIG_WF_HYBRID_D": "3"}, None),
+    ],
     "etlarge": [
         ("large-et-off-1", "large_mesh", {}, None),
         ("large-et-on-1", "large_mesh", {"COSIG_EARLYT": "1"}, None),
