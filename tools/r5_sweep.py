@@ -134,6 +134,14 @@ STAGES = {
         ("glass-hyb2", "glass_sphere", {"COSIG_WF_HYBRID_D": "2"}, None),
         ("glass-hyb-off-2", "glass_sphere", {}, None),
         ("glass-hyb3", "glass_sphere", {"COSIG_WF_HYBRID_D": "3"}, None),
+        # Bounce-frustum composition: the bfrust glass rejection was
+        # measured under selfskip (pixel-order bounce tiles, mixed
+        # octants). Hybrid's compacted depths are octant-major groups —
+        # the regime the frustum hull was built for.
+        ("large-hyb2-bf", "large_mesh",
+         {"COSIG_WF_HYBRID_D": "2", "COSIG_BOUNCE_FRUSTUM": "1"}, None),
+        ("glass-hyb2-bf", "glass_sphere",
+         {"COSIG_WF_HYBRID_D": "2", "COSIG_BOUNCE_FRUSTUM": "1"}, None),
     ],
     "etlarge": [
         ("large-et-off-1", "large_mesh", {}, None),
@@ -188,6 +196,23 @@ STAGES = {
         ("large-d1-noshadow", "large_mesh",
          {"COSIG_DEPTH": "1", "COSIG_STUB": "shadow"}, None),
         ("large-d1-full-2", "large_mesh", {"COSIG_DEPTH": "1"}, None),
+    ],
+    # Non-traversal floor decomposition at depth 1 on the headline
+    # config (the d1 stage put it at ~8.2 ms of the 22.9 ms frame; at a
+    # post-hybrid ~27 ms d6 frame the floor is the next biggest term).
+    # notrav-nount isolates the finalize untranspose inside the floor;
+    # shade isolates the local-shading block; noshadow-trav bounds the
+    # primary-kernel-only floor (camera + state write + dispatch).
+    "floor": [
+        ("glass-fl-full", "glass_sphere", {"COSIG_DEPTH": "1"}, None),
+        ("glass-fl-notrav", "glass_sphere",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "trav"}, None),
+        ("glass-fl-notrav-nount", "glass_sphere",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "trav", "COSIG_WF_NOUNT": "1"},
+         None),
+        ("glass-fl-notrav-noshade", "glass_sphere",
+         {"COSIG_DEPTH": "1", "COSIG_STUB": "trav,shade"}, None),
+        ("glass-fl-full-2", "glass_sphere", {"COSIG_DEPTH": "1"}, None),
     ],
     "depths": (
         [(f"glass-d{d}", "glass_sphere", {"COSIG_DEPTH": str(d)}, None)
