@@ -35,7 +35,8 @@ STATE = os.path.join(os.path.dirname(__file__), "r5_autorun_state.json")
 # refresh still beats round-3 numbers; it is re-run manually after any
 # default flip.
 QUEUE = ["wsel", "d1", "mega", "wselK", "wselR", "bfrust", "etlarge",
-         "occlarge", "hybrid", "depths", "bflarge", "floor", "bench"]
+         "occlarge", "hybverify", "hybrid", "depths", "bflarge", "floor",
+         "bench"]
 US_OK = 2000.0  # STATUS: anything under ~2,000 us/tile supports ABAB
 PROBE_TIMEOUT = 1200  # degraded probes have exceeded 300 s
 SLEEP_S = 540

@@ -265,6 +265,25 @@ def main():
                 cwd=REPO,
             )
             continue
+        if stage == "hybverify":
+            # Hardware bitwise gate for the depth-hybrid dispatch (runs
+            # before the hybrid ABAB stage; bit-equality is timing-
+            # independent, so any window quality is fine — it sits in
+            # this queue only to serialize chip access with the sweeps).
+            for cfg_name in ("glass_sphere", "large_mesh"):
+                r = subprocess.run(
+                    [sys.executable, os.path.join("tools", "hybrid_verify.py")],
+                    env=dict(os.environ, COSIG_SS_CONFIG=cfg_name),
+                    cwd=NEW_CWD,
+                )
+                with open(OUT, "a") as f:
+                    f.write(json.dumps({
+                        "label": f"hybverify-{cfg_name}", "rc": r.returncode,
+                        "ts": time.strftime("%H:%M:%S"), "code": "r5",
+                    }) + "\n")
+                if r.returncode != 0:
+                    sys.exit(r.returncode)
+            continue
         if stage == "bench":
             subprocess.run(
                 [sys.executable, "bench.py", "--all"], cwd=NEW_CWD,
