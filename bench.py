@@ -348,8 +348,10 @@ def main():
                 "--emit-details",
             ]
             try:
+                # Degraded-tunnel compiles alone have hit ~1,500 s
+                # (r5 etlarge rows); leave room for compile + chains.
                 out = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=1800, check=True
+                    cmd, capture_output=True, text=True, timeout=3600, check=True
                 )
                 results[name] = json.loads(out.stdout.strip().splitlines()[-1])
                 print(json.dumps(results[name], indent=2), file=sys.stderr)
