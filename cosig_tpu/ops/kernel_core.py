@@ -205,7 +205,7 @@ def make_traverse(
     sub_aabb_t=None, subgroups=1,
     geom_mx=None, gatt=None, raysmx=None, mxu_anyhit=True,
     bounds_vmem=None, bounds_smem=None, cnt_smem=None, bsem=None,
-    earlyt=False, earlyt_occ=False, wsel_vmem=None,
+    earlyt=False, earlyt_occ=False,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -819,28 +819,19 @@ def make_traverse(
             for _sp in range(S):
                 et_refresh(_sp)
 
-        # Window selection (WSEL, COSIG_WSEL): ONE full-width pair-test
-        # dot per visited cluster (big, MXU-efficient — written to the
-        # wsel scratch so the per-window reads below are fresh aligned
-        # ref loads, per the Mosaic staging rule), with the expensive
-        # VPU winner-selection run ONLY on the lane windows whose cull
-        # bit is set. Selection is lane-local (every reduce is over the
-        # K sublanes), so skipping unflagged windows is exactly the
-        # sub-packet dispatch argument: those windows' rays all failed
-        # the (conservative-superset) slab test, so the cluster cannot
-        # contribute a winner there. The dot spends inflated-but-cheap
-        # MXU FLOPs; the selection — the dominant per-pair cost (r3
-        # batching post-mortem, STATUS round-5 analysis) — spends
-        # fine-granularity work.
-        use_wsel = use_mxu and wsel_vmem is not None and S > 1
+        # (Window selection — COSIG_WSEL, one full-width dot + per-
+        # flagged-window VPU selection — was REJECTED on hardware in
+        # round 5: glass 247 vs 262, large 72 vs 94, every K/R/Sb/mega
+        # variant also losing; per-window scalar dispatch + non-
+        # contiguous window addressing cost more than the 2-4x lane cut
+        # saved. Implementation + bitwise gates in git history; numbers
+        # in docs/packet_floor.md.)
 
         # Per-sub-packet ray-plane windows, loaded ONCE per traversal
         # (loop-invariant across cluster visits; loading inside the visit
         # body would re-issue 9 loads per cluster).
-        sub_rays = sub_mx = riota = full_mx = None
+        sub_rays = sub_mx = riota = None
         if use_mxu:
-            if use_wsel:
-                full_mx = raysmx[mxb : mxb + 64, :]
             sub_mx = (
                 [
                     raysmx[mxb : mxb + 64, sp * RS : (sp + 1) * RS]
@@ -1132,24 +1123,7 @@ def make_traverse(
                     bset(row, jnp.where(better, new, bref(row)))
 
             if use_mxu:
-                if use_wsel:
-                    # WSEL (see the use_wsel note): full-width dot once,
-                    # selection per flagged window off the scratch ref.
-                    wsel_vmem[:, :] = jnp.dot(
-                        gmc[0 : 5 * K], full_mx,
-                        preferred_element_type=jnp.float32,
-                    )
-                    if not _stub_sel(any_hit):
-                        for sp in range(S):
-                            @pl.when(disp_cond(entry, sp))
-                            def _(sp=sp):
-                                mxu_sel(
-                                    wsel_vmem[:, sp * RS : (sp + 1) * RS],
-                                    gac, sp * RS, RS,
-                                )
-                                if use_skip:
-                                    et_refresh(sp)
-                elif S == 1:
+                if S == 1:
                     if use_skip:
                         @pl.when(disp_cond(entry, 0))
                         def _():

@@ -92,10 +92,9 @@ STATE_ROWS = 16  # shared ray-state layout (kernel_core ROW_* contract)
 # runs both through one traverse closure with disjoint staging bands.
 _MXU_ENV = _os.environ.get("COSIG_MXU", "1")
 
-# Window selection (COSIG_WSEL; kernel_core use_wsel note) — composes
-# with the MXU path here exactly as in the wavefront. Needs S > 1; pick
-# finer sub-packets via COSIG_MEGA_S.
-_WSEL = _os.environ.get("COSIG_WSEL") == "1"
+# (Window selection — COSIG_WSEL / COSIG_MEGA_S — was REJECTED on
+# hardware in round 5, in the megakernel too: glass 92.6 -> 71.3 with
+# MEGA_S=8, large 78.6 -> 66.6. Pruned; see docs/packet_floor.md.)
 
 
 def _use_mxu(cset, stream: bool, interpret: bool) -> bool:
@@ -115,19 +114,10 @@ def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
     work). Sub-packets are static lane slices, so R/S must be a 128
     multiple; quads must divide the tile shape evenly.
 
-    COSIG_MEGA_S overrides the sub-packet count (e.g. 8 on the default
-    32x32 tile -> 128-lane windows) — the granularity WSEL selection
-    wants; without WSEL, finer masks cost more per-visit dispatches."""
+    """
     del c_pad
     R = tile_h * tile_w
     shapes = {8: (4, 2), 4: (2, 2), 2: (2, 1), 1: (1, 1)}
-    ov = int(_os.environ.get("COSIG_MEGA_S", "0"))
-    if ov:
-        sqh, sqw = shapes[ov]
-        assert (
-            (R // ov) % 128 == 0 and tile_h % sqh == 0 and tile_w % sqw == 0
-        ), (tile_h, tile_w, ov)
-        return ov, sqh, sqw
     for S in (8, 4, 2):
         sqh, sqw = shapes[S]
         if (
@@ -141,7 +131,7 @@ def _subpacket_grid(tile_h: int, tile_w: int, c_pad: int):
 
 def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, nbx: int,
                  tile_w: int, tile_h: int, stream: bool, prim_counts=(0, 0),
-                 n_subg: int = 1, mxu: bool = False, wsel: bool = False):
+                 n_subg: int = 1, mxu: bool = False):
     """Build the megakernel body (all static config closed over)."""
 
     width, height = cfg.width, cfg.height
@@ -156,7 +146,7 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
         uniforms, mats, lights, prims, aabb_t, sb_aabb_t, sub_aabb_t, geom,
         geom_mx, gatt,
         out_ref, best_ref, state, flag_vmem, flags_smem, list_smem, sem,
-        gbuf, gsem, sbflag_vmem, sb_smem, raysmx, wsel_vmem,
+        gbuf, gsem, sbflag_vmem, sb_smem, raysmx,
     ):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -187,7 +177,6 @@ def _make_kernel(cfg: StaticConfig, C: int, C_pad: int, K: int, M: int, L: int, 
             geom_mx=geom_mx if mxu else None,
             gatt=gatt if mxu else None,
             raysmx=raysmx, mxu_anyhit=True,
-            wsel_vmem=wsel_vmem if (mxu and wsel) else None,
         )
         traverse = make_traverse(
             aabb_t, sb_aabb_t, geom, best_ref, flag_vmem, flags_smem,
@@ -356,11 +345,9 @@ def render_clusters(
     if prims is None:
         prims = jnp.zeros((1, 22), jnp.float32)
     mxu = _use_mxu(cset, stream, interpret)
-    S_grid, _, _ = _subpacket_grid(tile_h, tile_w, C_pad)
-    wsel = _WSEL and mxu and S_grid > 1
     kernel = _make_kernel(
         cfg, C, C_pad, K, M, L, nbx, tile_w, tile_h, stream, prim_counts,
-        cset.subgroups, mxu=mxu, wsel=wsel,
+        cset.subgroups, mxu=mxu,
     )
     geom_in = cset.geom
     if stream:
@@ -418,8 +405,6 @@ def render_clusters(
             pltpu.SMEM((1, 128), jnp.int32),      # superblock flags (scalar)
             # MXU limb staging: disjoint closest/any-hit bands (full mode).
             pltpu.VMEM((128, R) if mxu else (16, 128), jnp.bfloat16),
-            # WSEL full-width dot scratch (kernel_core use_wsel note).
-            pltpu.VMEM((5 * K, R) if wsel else (8, 128), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=COMPILER_PARAMS,

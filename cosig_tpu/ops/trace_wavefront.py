@@ -211,15 +211,8 @@ _EARLYT = _os.environ.get("COSIG_EARLYT") == "1"
 # kernel_core.make_traverse's earlyt_occ note.
 _EARLYT_OCC = _os.environ.get("COSIG_EARLYT_OCC") == "1"
 
-# Window selection (COSIG_WSEL=1; experiment, default off until the TPU
-# ABAB lands): on the MXU path with sub-packets (S > 1), run ONE
-# full-width pair-test dot per visited cluster and the VPU winner
-# selection only on the lane windows whose cull bit is set — the
-# round-5 structural lever against packet pair-work inflation (see
-# kernel_core's use_wsel note and STATUS "Round-5 traversal analysis").
-# Exact: identical skip set to the existing per-window dispatch.
-# Pair best with COSIG_WF_SB=8 (finest windows, RS = Rb/8 >= 128).
-_WSEL = _os.environ.get("COSIG_WSEL") == "1"
+# (Window selection — COSIG_WSEL — was REJECTED on hardware in round 5
+# and pruned; see kernel_core's note and docs/packet_floor.md.)
 
 # Mean-first finalization (default on; COSIG_WF_MEANFIRST=0 reverts):
 # average the AA samples INSIDE each compaction group BEFORE the inverse
@@ -341,7 +334,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state, best_ref, flag_vmem, flags_smem,
                list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-               bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
+               bounds_vmem, bounds_smem, cnt_smem, bsem,
                sh_flag_vmem, sh_flags_smem, sh_list_smem):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -445,7 +438,6 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
             cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
             earlyt_occ=_EARLYT_OCC,
-            wsel_vmem=wsel_vmem if _WSEL and mxu else None,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
@@ -503,7 +495,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
              sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
              sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
              list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-             bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
+             bounds_vmem, bounds_smem, cnt_smem, bsem,
              sh_flag_vmem, sh_flags_smem, sh_list_smem):
         """One bounce on ``state`` (a (SROWS, R) VMEM ref), shared by the
         blocked and self-skip kernel forms below."""
@@ -527,7 +519,6 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
             bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
             cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
             earlyt_occ=_EARLYT_OCC,
-            wsel_vmem=wsel_vmem if _WSEL and mxu else None,
             frustum=bounce_frustum,
         )
         traverse_shadow = _make_shadow_traverse(
@@ -553,7 +544,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                    sh_sub_aabb_t, sh_geom, alive_bm, state_in, state_out,
                    best_ref, flag_vmem, flags_smem, list_smem, sem,
                    sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-                   bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
+                   bounds_vmem, bounds_smem, cnt_smem, bsem,
                    sh_flag_vmem, sh_flags_smem, sh_list_smem, st_vmem, ssem):
             # Self-skip form (_SELFSKIP note): state_in/state_out are the
             # FULL (SROWS, n_pad) array as unblocked HBM operands (aliased
@@ -574,7 +565,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                      sh_sb_aabb_t, sh_sub_aabb_t, sh_geom, best_ref,
                      flag_vmem, flags_smem, list_smem, sem, sbflag_vmem,
                      sb_smem, gbuf, gsem, raysmx, bounds_vmem, bounds_smem,
-                     cnt_smem, bsem, wsel_vmem, sh_flag_vmem,
+                     cnt_smem, bsem, sh_flag_vmem,
                      sh_flags_smem, sh_list_smem)
                 cpo = pltpu.make_async_copy(
                     st_vmem, state_out.at[:, pl.ds(tile * R, R)], ssem
@@ -588,7 +579,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state_in, state_out, best_ref, flag_vmem,
                flags_smem, list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem,
-               raysmx, bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
+               raysmx, bounds_vmem, bounds_smem, cnt_smem, bsem,
                sh_flag_vmem, sh_flags_smem, sh_list_smem):
         # The output block is the working ref (readable after write in
         # Pallas VMEM); one copy-in replaces the old in -> scratch -> out
@@ -603,7 +594,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                  sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
                  sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
                  list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-                 bounds_vmem, bounds_smem, cnt_smem, bsem, wsel_vmem,
+                 bounds_vmem, bounds_smem, cnt_smem, bsem,
                  sh_flag_vmem, sh_flags_smem, sh_list_smem)
 
     return kernel
@@ -745,10 +736,6 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
         pltpu.SMEM((9, C_pad), jnp.float32),
         pltpu.SMEM((1, 128), jnp.int32),
         pltpu.SemaphoreType.DMA,
-        # WSEL full-width dot scratch (kernel_core use_wsel note): the
-        # (5K, R) pair-test output, so per-window selection reads are
-        # fresh aligned ref loads. Dummy when the knob is off.
-        pltpu.VMEM((5 * K, R) if (_WSEL and mxu) else (8, 128), jnp.float32),
     ]
     geom_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms

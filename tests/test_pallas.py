@@ -675,14 +675,11 @@ def test_selfskip_verify_tpu():
     assert "bitwise-equal: True" in run.stdout, run.stdout[-2000:]
 
 
-def test_wavefront_wsel_exact(scene1, monkeypatch):
-    """Window selection (COSIG_WSEL — one full-width MXU pair dot per
-    visited cluster, VPU winner selection only on cull-flagged lane
-    windows; kernel_core use_wsel note) must be BIT-identical: the
-    selection is lane-local and the skipped windows are exactly the
-    existing sub-packet dispatch's skip set. Runs under forced-MXU
-    interpret (the WSEL path is MXU-only), incl. the finest bounce
-    windows (Sb=8 -> RS=128)."""
+def test_wavefront_bounce_frustum_exact(scene1, monkeypatch):
+    """Bounce-stage frustum culls (COSIG_BOUNCE_FRUSTUM; a conservative
+    superset cull over the selfskip-era pixel-order bounce tiles) must
+    be BIT-identical under the forced-MXU interpret path — the cull only
+    changes which non-winning candidates are tested."""
     from cosig_tpu.ops import trace_wavefront
 
     monkeypatch.setenv("COSIG_MXU", "force")
@@ -693,51 +690,11 @@ def test_wavefront_wsel_exact(scene1, monkeypatch):
     params = frame_params(scene1, st)
     cfg = static_config(scene1, st)
     cs = build_clusters(arrays)
-    monkeypatch.setattr(trace_wavefront, "_WSEL", False)
     base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    monkeypatch.setattr(trace_wavefront, "_WSEL", True)
+    monkeypatch.setenv("COSIG_BOUNCE_FRUSTUM", "1")
     img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
     assert float(r0) == float(r1)
     np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
-    monkeypatch.setenv("COSIG_WF_SB", "8")  # finest bounce windows
-    img2, r2 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    assert float(r0) == float(r2)
-    np.testing.assert_array_equal(np.asarray(img2), np.asarray(base))
-    # Bounce-stage frustum culls (COSIG_BOUNCE_FRUSTUM; conservative
-    # superset over the selfskip-era pixel-order bounce tiles) compose
-    # with WSEL and must also be bit-exact.
-    monkeypatch.setenv("COSIG_BOUNCE_FRUSTUM", "1")
-    img3, r3 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    assert float(r0) == float(r3)
-    np.testing.assert_array_equal(np.asarray(img3), np.asarray(base))
-
-
-def test_megakernel_mxu_wsel_exact(scene1, monkeypatch):
-    """The megakernel's round-5 MXU wiring: sub-packet granularity
-    (COSIG_MEGA_S) and window selection (COSIG_WSEL) must be BIT-
-    identical to the megakernel's plain MXU path — same arguments as
-    the wavefront gates (sub-packet skip set; lane-local selection).
-    Cross-backend MXU equality on hardware is gated by
-    tools/wsel_verify.py + tools/mxu_verify.py."""
-    from cosig_tpu.ops import trace_pallas
-
-    monkeypatch.setattr(trace_pallas, "_MXU_ENV", "force")
-    st = cosig_tpu.RenderSettings(
-        resolution_override=(48, 32), max_depth=2, aa_samples=2,
-    )
-    arrays = compile_scene(scene1)
-    params = frame_params(scene1, st)
-    cfg = static_config(scene1, st)
-    cs = build_clusters(arrays)
-    base, r0 = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
-    monkeypatch.setenv("COSIG_MEGA_S", "8")
-    img, r1 = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
-    assert float(r0) == float(r1)
-    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
-    monkeypatch.setattr(trace_pallas, "_WSEL", True)
-    img2, r2 = trace_pallas.render_clusters(cs, params, cfg, interpret=True)
-    assert float(r0) == float(r2)
-    np.testing.assert_array_equal(np.asarray(img2), np.asarray(base))
 
 
 def test_wavefront_earlyt_exact(scene1, monkeypatch):

@@ -41,10 +41,7 @@ MODES = {
     # block set — the designed dodge for the fused-kernel miscompile.
     "fission-full": {"COSIG_WF_FISSION": "1", "COSIG_MXU": "1"},
     "fission-base": {"COSIG_WF_FISSION": "1", "COSIG_MXU": "0"},
-    # Window selection (round 5, kernel_core use_wsel note): full-width
-    # dot + per-flagged-window selection; Sb8 = finest bounce windows.
-    "wsel": {"COSIG_MXU": "1", "COSIG_WSEL": "1"},
-    "wsel-sb8": {"COSIG_MXU": "1", "COSIG_WSEL": "1", "COSIG_WF_SB": "8"},
+    # (Window-selection modes removed with the round-5 COSIG_WSEL prune.)
 }
 DEFAULT_MODES = ("base", "mixed", "full", "fission-full")
 
