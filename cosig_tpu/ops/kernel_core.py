@@ -184,17 +184,17 @@ def build_lights(params: FrameParams, multi_light: bool) -> jax.Array:
 # Packet cluster traversal
 
 
-#: Bucket count for the early-t counting sort (fits the 8-bit bucket
-#: field packed above the sub-packet bits in the flag word).
-EARLYT_BUCKETS = 16
-
-#: Row of the (9, C_pad) early-t bounds scratch holding the CACHED
-#: per-sub-packet max-best scalar (column sp). best_ref[0] only changes
-#: during executed visits, so recomputing the reduce there (and reading
-#: one SMEM scalar per dispatch test) is exact — and turns the skip test
-#: from a per-listed-visit vector reduce (~the per-cluster scalar-stall
-#: cost this kernel's whole structure avoids) into one SMEM load.
-ET_MAX_ROW = 8
+# (Early-t cluster skip — COSIG_EARLYT, the TPU analog of the
+# reference's pop-time best-t early-out (compute:255-258) via a
+# counting-sort front-to-back visit order + per-sub-packet bound tests,
+# and its any-hit twin COSIG_EARLYT_OCC — were REJECTED on hardware:
+# glass 37.4 vs 33.5/34.2 ms (r4), large 148.6/148.8 vs 144.85/144.85
+# (r5 etlarge, after fixing the r4 Mosaic partial-sublane DMA crash —
+# tools/repro_earlyt_multitile.py documents the hazard); OCC flat on
+# both configs (r5 occlarge, clean window). The per-sub-packet max
+# best-t bound stays loose under bounce divergence at packet
+# granularity. Implementation + bitwise gates in git history; numbers
+# in docs/packet_floor.md.)
 
 
 def make_traverse(
@@ -204,8 +204,6 @@ def make_traverse(
     prims=None, n_sph=0, n_box=0, frustum=False,
     sub_aabb_t=None, subgroups=1,
     geom_mx=None, gatt=None, raysmx=None, mxu_anyhit=True,
-    bounds_vmem=None, bounds_smem=None, cnt_smem=None, bsem=None,
-    earlyt=False, earlyt_occ=False,
 ):
     """Build ``traverse(ox..dz, active, max_t=None) -> (hit, t, n, mat)``.
 
@@ -251,24 +249,6 @@ def make_traverse(
     ops/analytic.py for the XLA oracle). Primitives get tie-break ids
     above every triangle gid, so they lose equal-t ties to triangles
     exactly like the oracle's strict-less-than fold.
-
-    ``earlyt=True`` (closest-hit only; needs the four ``bounds_vmem`` /
-    ``bounds_smem`` / ``cnt_smem`` / ``bsem`` scratch refs): the TPU-shaped
-    analog of the reference's pop-time best-t early-out
-    (BVHRayTracing.compute:255-258 — nodes whose entry distance exceeds
-    the current best hit are skipped). The cull additionally records a
-    per-(sub-packet, cluster) ENTRY LOWER BOUND (min over the sub-packet's
-    rays of clamp(slab t_near, 0); interval entry in frustum mode), the
-    scalar compaction becomes a counting sort over EARLYT_BUCKETS
-    quantized-entry buckets (approximate front-to-back visit order, two
-    passes instead of one), and each visit dispatch adds the test
-    ``entry_bound[sp, c] <= max(best_t over sp's active rays)`` — a
-    cluster whose every potential hit lies STRICTLY beyond every ray's
-    current best cannot win even a (t, gid) tie, so skipping it is exact
-    (bit-identical images; visit order never matters because the winner
-    fold is an associative lexicographic min). Effective only for rays
-    that have already found a hit — tiles seeing background keep their
-    full visit set by construction.
 
     ``frustum=True`` replaces the per-ray (R, C_pad) slab cull with a
     per-sub-packet interval (bounding-frustum) test on (1, C_pad) rows —
@@ -332,18 +312,6 @@ def make_traverse(
                 ones * F(0.0), ones, ones * F(0.0), ones * F(-1.0),
             )
         use_mxu = mxu and (mxu_anyhit or not any_hit)
-        # Early-t machinery (see the earlyt docstring note): closest-hit
-        # only — any-hit occlusion has no best-t to bound against.
-        use_et = earlyt and not any_hit and bounds_vmem is not None
-        # Occlusion-saturation skip (``earlyt_occ``): the any-hit analog —
-        # once every ACTIVE ray of a sub-packet is occluded, remaining
-        # visits cannot change the image (flags only grow via max, and
-        # inactive lanes' flags are masked downstream: gate = lit & ndl>0
-        # & alive in shade). Same ET_MAX_ROW cache, min instead of max;
-        # no bounds/counting-sort machinery needed.
-        use_occ = earlyt_occ and any_hit and bounds_smem is not None
-        use_skip = use_et or use_occ
-        NEG_INF = F(-3.402823466e38)
         if any_hit:
             assert max_t is not None
             best_ref[0:1] = jnp.zeros((1, R), F)  # occlusion flag row
@@ -439,19 +407,13 @@ def make_traverse(
         act = active.astype(F).reshape(R, 1)
         mt_col = None if max_t is None else max_t.reshape(R, 1)
 
-        def cull(b0, b1, b2, b3, b4, b5, want_bounds=False):
+        def cull(b0, b1, b2, b3, b4, b5):
             """Slab test of the tile's rays vs a row of boxes -> flags
             (1, W) i32: bit ``s`` set iff some ray of sub-packet ``s`` may
             enter the box (S=1: plain 0/1). Inputs are the six AABB
             component rows. Rays are processed one sub-packet (R/S
             sublanes) at a time, which both produces the per-sub-packet
             bits and bounds the slab temporaries at (R/S, W).
-
-            ``want_bounds`` (early-t) additionally returns (S, W) f32
-            entry lower bounds: min over the sub-packet's box-hitting
-            rays of clamp(tn, 0) — any hit inside the box has t >= tn for
-            its ray, so >= the row's value for the whole sub-packet. NaN
-            tn (origin-on-plane rays) maps to bound 0 = never skipped.
 
             NaN-conservative: comparisons are inverted (``~(tn > tf)``)
             so any NaN slab — a zero direction component with the origin
@@ -463,7 +425,6 @@ def make_traverse(
             Padding columns passing is harmless: scalar compaction is
             bounded by the real cluster count C."""
             m = None
-            brows = []
             for sp in range(S):
                 rows = slice(sp * RS, (sp + 1) * RS)
                 t0x = (b0 - oxc[rows]) * idxc[rows]
@@ -486,17 +447,9 @@ def make_traverse(
                     # cannot contain a hit closer than the light (t >= tn);
                     # `lit` treats miss and beyond-light hits identically.
                     boxhit = boxhit & ~(tn > mt_col[rows])
-                if want_bounds:
-                    ent = jnp.maximum(tn, F(0.0))
-                    ent = jnp.where(ent == ent, ent, F(0.0))  # NaN -> visit
-                    brows.append(jnp.min(
-                        jnp.where(boxhit, ent, INF), axis=0, keepdims=True
-                    ))
                 bit = jnp.max(boxhit.astype(jnp.int32), axis=0, keepdims=True)
                 mb = bit if sp == 0 else bit << sp
                 m = mb if m is None else m | mb
-            if want_bounds:
-                return m, (jnp.concatenate(brows, axis=0) if S > 1 else brows[0])
             return m
 
         # ---- per-sub-packet ray hulls (frustum mode), hoisted so both
@@ -520,21 +473,15 @@ def make_traverse(
                 mt_hi = hull(max_t)[1] if max_t is not None else None
                 hulls.append((axes, mt_hi))
 
-        def frustum_flags(b0, b1, b2, b3, b4, b5, want_bounds=False):
+        def frustum_flags(b0, b1, b2, b3, b4, b5):
             """Per-sub-packet bounding frustum vs a row of boxes -> packed
             (1, W) bits. Interval arithmetic over the sub-packet's
             origin/direction hulls; see the frustum note in the module
             docstring. NaN-conservative like ``cull``: NaN intervals (and
-            NaN AABB padding) pass; compaction is bounded by C.
-
-            ``want_bounds`` (early-t): the interval ``entry`` is already a
-            lower bound on every sub-packet ray's slab t_near, hence on
-            any hit t inside the box — return it per (sub-packet, box),
-            NaN mapped to 0 (never skipped)."""
+            NaN AABB padding) pass; compaction is bounded by C."""
             box = ((b0, b3), (b1, b4), (b2, b5))
             W = b0.shape[1]
             m = None
-            brows = []
             for sp in range(S):
                 axes, mt_hi = hulls[sp]
                 entry = jnp.zeros((1, W), F)
@@ -564,51 +511,18 @@ def make_traverse(
                 if mt_hi is not None:
                     exit_ = jnp.minimum(exit_, mt_hi)
                 hit_b = ~(entry > exit_)
-                if want_bounds:
-                    ent = jnp.where(entry == entry, entry, F(0.0))
-                    brows.append(jnp.where(hit_b, ent, INF))
                 bit = hit_b.astype(jnp.int32)
                 mb = bit if sp == 0 else bit << sp
                 m = mb if m is None else m | mb
-            if want_bounds:
-                return m, (jnp.concatenate(brows, axis=0) if S > 1 else brows[0])
             return m
 
         flags_of = frustum_flags if frustum else cull
 
         def detail_flags(cols):
             """Per-sub-packet visit bits for cluster columns ``cols``:
-            entry = c (S == 1) or (c << 8) | bits. Early-t additionally
-            returns the (S, W) entry-bound rows."""
+            entry = c (S == 1) or (c << 8) | bits."""
             rows6 = (aabb_t[r : r + 1, cols] for r in range(6))
-            if use_et:
-                return flags_of(*rows6, want_bounds=True)
-            return flags_of(*rows6), None
-
-        def _et_pack(m):
-            """Quantize cluster-level entry bounds (min over sub-packets,
-            adaptive range over this traversal's flagged clusters) into
-            EARLYT_BUCKETS and pack the bucket into flag-word bits 8+.
-            Order is approximate front-to-back — ANY order is exact (the
-            winner fold is an associative lexicographic min); the skip
-            tests use the exact f32 bounds, not the buckets."""
-            br = bounds_vmem[0:S, :]
-            bmin_c = jnp.min(br, axis=0, keepdims=True) if S > 1 else br
-            flagged = m != 0
-            finite = flagged & (bmin_c < INF)
-            e_min = jnp.min(
-                jnp.where(finite, bmin_c, INF), axis=1, keepdims=True
-            )
-            e_max = jnp.max(
-                jnp.where(finite, bmin_c, NEG_INF), axis=1, keepdims=True
-            )
-            scale = F(float(EARLYT_BUCKETS)) / jnp.maximum(
-                e_max - e_min, F(1e-30)
-            )
-            bk = jnp.clip(
-                (bmin_c - e_min) * scale, F(0.0), F(EARLYT_BUCKETS - 1)
-            ).astype(jnp.int32)
-            return jnp.where(flagged, m | (bk << 8), 0)
+            return flags_of(*rows6)
 
         def compact_entry(c, n):
             """Scalar compaction of cluster ``c``'s flag word into the
@@ -621,84 +535,13 @@ def make_traverse(
 
             return n + jnp.where(f != 0, 1, 0)
 
-        # ---- early-t counting sort (two passes + a bucket prefix sum):
-        # emit the visit list in quantized-entry order. The flag word is
-        # bits | (bucket << 8); list entries use the (c << 8) | bits
-        # packing at EVERY S (the bucket is not carried — visit-time
-        # skips read the exact f32 bounds row instead). ----
-        def et_count(c, n):
-            f = flags_smem[0, c]
-            live = (f & 0xFF) != 0
-
-            @pl.when(live)
-            def _():
-                b = f >> 8
-                cnt_smem[0, b] = cnt_smem[0, b] + 1
-
-            return n + jnp.where(live, 1, 0)
-
-        def et_place(c, n):
-            f = flags_smem[0, c]
-
-            @pl.when((f & 0xFF) != 0)
-            def _():
-                b = f >> 8
-                p = cnt_smem[0, b]
-                list_smem[0, p] = (c << 8) | (f & 0xFF)
-                cnt_smem[0, b] = p + 1
-
-            return n
-
-        def et_sort(count_pass, place_pass):
-            """Run the counting sort given block-structure-aware pass
-            runners (fns taking a per-cluster body); returns n_hit."""
-            def zero(b, _):
-                cnt_smem[0, b] = 0
-                return 0
-
-            jax.lax.fori_loop(0, EARLYT_BUCKETS, zero, 0)
-            n_hit = count_pass(et_count)
-
-            def pref(b, acc):
-                v = cnt_smem[0, b]
-                cnt_smem[0, b] = acc
-                return acc + v
-
-            jax.lax.fori_loop(0, EARLYT_BUCKETS, pref, 0)
-            place_pass(et_place)
-            return n_hit
-
         if n_blocks == 1:
-            if use_et:
-                m, br = detail_flags(slice(None))
-                bounds_vmem[0:S, :] = br
-                flag_vmem[:, :] = _et_pack(m)
-            else:
-                flag_vmem[:, :] = detail_flags(slice(None))[0]
+            flag_vmem[:, :] = detail_flags(slice(None))
             copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
             copy.start()
-            if use_et:
-                # Copy ALL 8 sublanes, not [0:S]: a partial-sublane window
-                # spanning >1 lane tile (S=4, C_pad=256 — large_mesh)
-                # fails Mosaic DMA lowering (`memref<4x256xf32,
-                # tiled<(8,128)>` — the r4 "large-et-on" crash). Rows
-                # [S, 8) carry scratch garbage into SMEM rows never read
-                # (skip tests index sp < S; ET_MAX_ROW is row 8, outside
-                # the copied window).
-                bcopy = pltpu.make_async_copy(
-                    bounds_vmem, bounds_smem.at[0:8], bsem
-                )
-                bcopy.start()
             stage_rays()
             copy.wait()
-            if use_et:
-                bcopy.wait()
-                n_hit = et_sort(
-                    lambda body: jax.lax.fori_loop(0, C, body, 0),
-                    lambda body: jax.lax.fori_loop(0, C, body, 0),
-                )
-            else:
-                n_hit = jax.lax.fori_loop(0, C, compact_entry, 0)
+            n_hit = jax.lax.fori_loop(0, C, compact_entry, 0)
         else:
             # Hierarchical cull for large scenes: the (R, C_pad) slab test
             # would blow VMEM, so test CULL_BLOCK-cluster superblock unions
@@ -716,36 +559,20 @@ def make_traverse(
             sb_copy.wait()
 
             flag_vmem[:, :] = jnp.zeros((1, C_pad), jnp.int32)
-            if use_et:
-                bounds_vmem[0:S, :] = jnp.full((S, C_pad), INF, F)
 
             def blk(b, _):
                 @pl.when(sb_smem[0, b] > 0)
                 def _():
                     off = b * GB
-                    m, br = detail_flags(pl.ds(off, GB))
-                    flag_vmem[:, pl.ds(off, GB)] = m
-                    if use_et:
-                        bounds_vmem[0:S, pl.ds(off, GB)] = br
+                    flag_vmem[:, pl.ds(off, GB)] = detail_flags(pl.ds(off, GB))
 
                 return 0
 
             jax.lax.fori_loop(0, n_blocks, blk, 0)
 
-            if use_et:
-                # Bucket-pack over the assembled full row (dead blocks
-                # stay flag 0 / bound INF and never compact).
-                flag_vmem[:, :] = _et_pack(flag_vmem[0:1, :])
-                # Full-sublane copy: see the single-block bcopy note.
-                bcopy = pltpu.make_async_copy(
-                    bounds_vmem, bounds_smem.at[0:8], bsem
-                )
-                bcopy.start()
             copy = pltpu.make_async_copy(flag_vmem, flags_smem, sem)
             copy.start()
             copy.wait()
-            if use_et:
-                bcopy.wait()
 
             def block_pass(body):
                 def sb_pass(s, n):
@@ -760,64 +587,16 @@ def make_traverse(
 
                 return jax.lax.fori_loop(0, n_blocks, sb_pass, 0)
 
-            if use_et:
-                n_hit = et_sort(block_pass, block_pass)
-            else:
-                n_hit = block_pass(compact_entry)
+            n_hit = block_pass(compact_entry)
 
         # ---- stage 3: intersect only the hit clusters ----
         def _cid(entry):
-            # Early-t always uses the (c << 8) | bits packing (counting
-            # sort emits it at every S).
-            return entry >> 8 if (S > 1 or use_et) else entry
+            return entry >> 8 if S > 1 else entry
 
         def disp_cond(entry, sp):
             """Visit-dispatch condition for sub-packet ``sp``: its cull
-            bit (S > 1), AND the early-t skip test — visit only while the
-            cluster's entry bound can still beat (or tie) some active
-            ray's current best t. Strict ``>`` skips cannot drop ties, so
-            the (t, gid) winner is unchanged (see the earlyt note)."""
-            c_bit = ((((entry & 0xFF) >> sp) & 1) > 0) if S > 1 else None
-            if use_occ:
-                no_skip = bounds_smem[ET_MAX_ROW, sp] < F(1.0)
-                if os.environ.get("COSIG_ETOCC_DBG") == "noskip":
-                    # Diagnostic: keep every cache op in the program but
-                    # never skip — separates program-shape (fusion) image
-                    # deltas from actual skip-logic deltas.
-                    no_skip = no_skip | (bounds_smem[ET_MAX_ROW, sp] < INF)
-            elif use_et:
-                bound = bounds_smem[sp, _cid(entry)]
-                no_skip = bound <= bounds_smem[ET_MAX_ROW, sp]
-            else:
-                return c_bit
-            return no_skip if c_bit is None else c_bit & no_skip
-
-        def et_refresh(sp):
-            """Recompute sub-packet ``sp``'s cached dispatch-skip scalar
-            (ET_MAX_ROW note): exact as long as it runs after every
-            best_ref[0] update the dispatch tests can observe — i.e. at
-            traversal start and inside each executed visit (sub-packet
-            ``sp``'s visit only touches its own lane window). Closest
-            hit caches max best-t over active rays; any-hit caches min
-            occlusion flag (1.0 = saturated, skip) with inactive lanes
-            counting as occluded."""
-            if S == 1:
-                bt, am = best_ref[0:1], active
-            else:
-                bt = best_ref[0:1, sp * RS : (sp + 1) * RS]
-                am = active[:, sp * RS : (sp + 1) * RS]
-            if any_hit:
-                bounds_smem[ET_MAX_ROW, sp] = jnp.min(
-                    jnp.where(am, bt, F(1.0))
-                )
-            else:
-                bounds_smem[ET_MAX_ROW, sp] = jnp.max(
-                    jnp.where(am, bt, NEG_INF)
-                )
-
-        if use_skip:
-            for _sp in range(S):
-                et_refresh(_sp)
+            bit (S > 1 packing: entry = (c << 8) | bits)."""
+            return (((entry & 0xFF) >> sp) & 1) > 0
 
         # (Window selection — COSIG_WSEL, one full-width dot + per-
         # flagged-window VPU selection — was REJECTED on hardware in
@@ -1124,28 +903,14 @@ def make_traverse(
 
             if use_mxu:
                 if S == 1:
-                    if use_skip:
-                        @pl.when(disp_cond(entry, 0))
-                        def _():
-                            mt_mxu(0, R, sub_mx[0])
-                            et_refresh(0)
-                    else:
-                        mt_mxu(0, R, sub_mx[0])
+                    mt_mxu(0, R, sub_mx[0])
                 else:
                     for sp in range(S):
                         @pl.when(disp_cond(entry, sp))
                         def _(sp=sp):
                             mt_mxu(sp * RS, RS, sub_mx[sp])
-                            if use_skip:
-                                et_refresh(sp)
             elif S == 1:
-                if use_skip:
-                    @pl.when(disp_cond(entry, 0))
-                    def _():
-                        mt(0, R)
-                        et_refresh(0)
-                else:
-                    mt(0, R)
+                mt(0, R)
             else:
                 # Per-sub-packet visit bits: skip the intersection for
                 # sub-packets whose every ray already failed the
@@ -1157,8 +922,6 @@ def make_traverse(
                     @pl.when(disp_cond(entry, sp))
                     def _(sp=sp):
                         mt(sp * RS, RS, sub_rays[sp])
-                        if use_skip:
-                            et_refresh(sp)
             return 0
 
         if not _stub_visit(any_hit):

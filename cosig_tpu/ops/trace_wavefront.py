@@ -191,25 +191,10 @@ _SELFSKIP_FORCE = _SELFSKIP_ENV == "force"
 # first step covers the full extent (identical to its depth-1 cover).
 _HYBRID_D = int(_os.environ.get("COSIG_WF_HYBRID_D", "0"))
 
-# Early-t cluster skip (COSIG_EARLYT=1; experiment, default off until the
-# TPU ABAB lands): the TPU-shaped analog of the reference's pop-time
-# best-t early-out (BVHRayTracing.compute:255-258) — closest-hit
-# traversals record per-(sub-packet, cluster) entry lower bounds, visit
-# clusters in approximate front-to-back order (an SMEM counting sort over
-# quantized entry buckets), and skip a visit once the cluster's entry
-# bound exceeds every active ray's current best t. Exact — bit-identical
-# images (the (t, gid) winner fold is visit-order invariant and strict->
-# skips cannot drop ties); see kernel_core.make_traverse's earlyt note.
-_EARLYT = _os.environ.get("COSIG_EARLYT") == "1"
-
-# Occlusion-saturation skip (COSIG_EARLYT_OCC=1; experiment, default off
-# until the TPU ABAB lands): the any-hit analog of early-t — once every
-# ACTIVE ray of a sub-packet is occluded, the remaining shadow cluster
-# visits are skipped via one cached SMEM scalar per sub-packet. Exact:
-# occlusion flags only grow (max-fold) and inactive lanes' flags are
-# masked downstream (shade's gate = lit & ndl>0 & alive); see
-# kernel_core.make_traverse's earlyt_occ note.
-_EARLYT_OCC = _os.environ.get("COSIG_EARLYT_OCC") == "1"
+# (Early-t cluster skip — COSIG_EARLYT — and its any-hit twin
+# COSIG_EARLYT_OCC were REJECTED on hardware (glass r4, large r5
+# etlarge/occlarge) and pruned; see kernel_core's note and
+# docs/packet_floor.md.)
 
 # (Window selection — COSIG_WSEL — was REJECTED on hardware in round 5
 # and pruned; see kernel_core's note and docs/packet_floor.md.)
@@ -270,8 +255,7 @@ def _decode_rid(rid_plane, uniforms, decode):
 def _make_shadow_traverse(sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                           sh_geom, best_ref, sh_flag_vmem, sh_flags_smem,
                           sh_list_smem, sem, sbflag_vmem, sb_smem, R,
-                          subpackets, prims, n_sph, n_box, frustum,
-                          bounds_smem=None):
+                          subpackets, prims, n_sph, n_box, frustum):
     """Traversal closure over the SHADOW cluster set (cset_shadow) —
     any-hit queries on a coarser cut of the same triangle soup, VPU pair
     tests, single cull block (enforced by _shadow_resources). Returns
@@ -287,7 +271,6 @@ def _make_shadow_traverse(sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
         shC, shC_pad, shK, R,
         subpackets=subpackets, prims=prims, n_sph=n_sph, n_box=n_box,
         sub_aabb_t=sh_sub_aabb_t, subgroups=1, frustum=frustum,
-        bounds_smem=bounds_smem, earlyt_occ=_EARLYT_OCC,
     )
 
 
@@ -334,7 +317,6 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state, best_ref, flag_vmem, flags_smem,
                list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-               bounds_vmem, bounds_smem, cnt_smem, bsem,
                sh_flag_vmem, sh_flags_smem, sh_list_smem):
         tile = pl.program_id(0)
         bx = tile % nbx
@@ -435,9 +417,6 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             geom_mx=geom_mx if mxu else None,
             gatt=gatt if mxu else None, raysmx=raysmx,
             mxu_anyhit=mxu != 2,
-            bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
-            cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
-            earlyt_occ=_EARLYT_OCC,
             # Camera rays (and their shadow rays) are coherent pixel
             # quads: cull by sub-packet bounding frustum instead of the
             # per-ray slab grid (~R/S x less cull arithmetic; identical
@@ -450,7 +429,7 @@ def _make_primary_kernel(cfg: StaticConfig, dims, nbx, band, stream,
             sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
             best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
             sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
-            frustum=True, bounds_smem=bounds_smem,
+            frustum=True,
         )
         if fission:
             _rec_store(state, bounce_trace(traverse, state))
@@ -495,7 +474,6 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
              sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
              sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
              list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-             bounds_vmem, bounds_smem, cnt_smem, bsem,
              sh_flag_vmem, sh_flags_smem, sh_list_smem):
         """One bounce on ``state`` (a (SROWS, R) VMEM ref), shared by the
         blocked and self-skip kernel forms below."""
@@ -516,16 +494,13 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
             geom_mx=geom_mx if mxu else None,
             gatt=gatt if mxu else None, raysmx=raysmx,
             mxu_anyhit=mxu != 2,
-            bounds_vmem=bounds_vmem, bounds_smem=bounds_smem,
-            cnt_smem=cnt_smem, bsem=bsem, earlyt=_EARLYT,
-            earlyt_occ=_EARLYT_OCC,
             frustum=bounce_frustum,
         )
         traverse_shadow = _make_shadow_traverse(
             sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
             best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
             sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
-            frustum=bounce_frustum, bounds_smem=bounds_smem,
+            frustum=bounce_frustum,
         )
         if mode == "trace":
             _rec_store(state, bounce_trace(traverse, state))
@@ -544,7 +519,6 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                    sh_sub_aabb_t, sh_geom, alive_bm, state_in, state_out,
                    best_ref, flag_vmem, flags_smem, list_smem, sem,
                    sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-                   bounds_vmem, bounds_smem, cnt_smem, bsem,
                    sh_flag_vmem, sh_flags_smem, sh_list_smem, st_vmem, ssem):
             # Self-skip form (_SELFSKIP note): state_in/state_out are the
             # FULL (SROWS, n_pad) array as unblocked HBM operands (aliased
@@ -564,8 +538,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                      sb_aabb_t, sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t,
                      sh_sb_aabb_t, sh_sub_aabb_t, sh_geom, best_ref,
                      flag_vmem, flags_smem, list_smem, sem, sbflag_vmem,
-                     sb_smem, gbuf, gsem, raysmx, bounds_vmem, bounds_smem,
-                     cnt_smem, bsem, sh_flag_vmem,
+                     sb_smem, gbuf, gsem, raysmx, sh_flag_vmem,
                      sh_flags_smem, sh_list_smem)
                 cpo = pltpu.make_async_copy(
                     st_vmem, state_out.at[:, pl.ds(tile * R, R)], ssem
@@ -579,8 +552,7 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t,
                sh_geom, state_in, state_out, best_ref, flag_vmem,
                flags_smem, list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem,
-               raysmx, bounds_vmem, bounds_smem, cnt_smem, bsem,
-               sh_flag_vmem, sh_flags_smem, sh_list_smem):
+               raysmx, sh_flag_vmem, sh_flags_smem, sh_list_smem):
         # The output block is the working ref (readable after write in
         # Pallas VMEM); one copy-in replaces the old in -> scratch -> out
         # double copy.
@@ -594,7 +566,6 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
                  sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
                  sh_sub_aabb_t, sh_geom, best_ref, flag_vmem, flags_smem,
                  list_smem, sem, sbflag_vmem, sb_smem, gbuf, gsem, raysmx,
-                 bounds_vmem, bounds_smem, cnt_smem, bsem,
                  sh_flag_vmem, sh_flags_smem, sh_list_smem)
 
     return kernel
@@ -726,16 +697,6 @@ def _stage_resources(cset: cl.ClusterSet, stream, R: int, frustum=True,
             (128, R) if mxu == 1 else (64, R) if mxu == 2 else (16, 128),
             jnp.bfloat16,
         ),
-        # Early-t traversal scratch (kernel_core earlyt note): per-
-        # (sub-packet, cluster) entry bounds in VMEM + their SMEM copy
-        # (9th SMEM row = the ET_MAX_ROW cached max-best scalars),
-        # bucket counters for the counting sort, and the bounds DMA
-        # semaphore. Allocated unconditionally (tiny) so kernel
-        # signatures stay static whether or not COSIG_EARLYT is on.
-        pltpu.VMEM((8, C_pad), jnp.float32),
-        pltpu.SMEM((9, C_pad), jnp.float32),
-        pltpu.SMEM((1, 128), jnp.int32),
-        pltpu.SemaphoreType.DMA,
     ]
     geom_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # uniforms

@@ -697,63 +697,6 @@ def test_wavefront_bounce_frustum_exact(scene1, monkeypatch):
     np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
 
 
-def test_wavefront_earlyt_exact(scene1, monkeypatch):
-    """Early-t cluster skip (COSIG_EARLYT — front-to-back visit order +
-    best-t visit skip, kernel_core earlyt note) must be BIT-identical:
-    the (t, gid) winner fold is visit-order invariant, and a strict->
-    entry bound can only skip clusters that cannot win even a tie."""
-    from cosig_tpu.ops import trace_wavefront
-
-    st = cosig_tpu.RenderSettings(
-        resolution_override=(64, 64), max_depth=3, aa_samples=2,
-    )
-    arrays = compile_scene(scene1)
-    params = frame_params(scene1, st)
-    cfg = static_config(scene1, st)
-    cs = build_clusters(arrays)
-    monkeypatch.setattr(trace_wavefront, "_EARLYT", False)
-    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    monkeypatch.setattr(trace_wavefront, "_EARLYT", True)
-    img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    assert float(r0) == float(r1)
-    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
-
-
-def test_wavefront_etocc_exact(scene1, monkeypatch):
-    """Occlusion-saturation skip (COSIG_EARLYT_OCC — any-hit shadow
-    visits skipped once every active ray of a sub-packet is occluded,
-    kernel_core earlyt_occ note) must drop ZERO pixels: the skipped
-    visits can only max-fold flags already at 1.0. The skip-on image is
-    compared bitwise against the COSIG_ETOCC_DBG=noskip diagnostic
-    (identical cache ops, skip disabled) — separating skip logic from
-    the program-shape fusion ULPs the extra SMEM ops introduce vs the
-    off image (gated allclose below)."""
-    from cosig_tpu.ops import trace_wavefront
-
-    st = cosig_tpu.RenderSettings(
-        resolution_override=(64, 64), max_depth=3, aa_samples=2,
-    )
-    arrays = compile_scene(scene1)
-    params = frame_params(scene1, st)
-    cfg = static_config(scene1, st)
-    cs = build_clusters(arrays)
-    monkeypatch.setattr(trace_wavefront, "_EARLYT_OCC", False)
-    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    monkeypatch.setattr(trace_wavefront, "_EARLYT_OCC", True)
-    monkeypatch.setenv("COSIG_ETOCC_DBG", "noskip")
-    ref, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    monkeypatch.delenv("COSIG_ETOCC_DBG")
-    img, r2 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    assert float(r0) == float(r1) == float(r2)
-    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
-    # Fusion-ULP gate vs the cache-op-free program: accumulated shading
-    # reassociation reaches ~8e-7; a real occlusion flip moves a pixel
-    # by ~kd*ndl*light >= 1e-2, far above this.
-    np.testing.assert_allclose(
-        np.asarray(img), np.asarray(base), rtol=0, atol=2e-6
-    )
-
-
 def test_wavefront_shadow_cset_exact(scene1):
     """A separate (coarser) shadow cluster set (cset_shadow) must be
     BIT-identical to the single-set render: any-hit occlusion is a
