@@ -38,6 +38,11 @@ QUEUE = ["wsel", "d1", "mega", "wselK", "wselR", "bfrust", "etlarge",
          "occlarge", "hybverify", "hybrid", "depths", "bflarge", "floor",
          "bench"]
 US_OK = 2000.0  # STATUS: anything under ~2,000 us/tile supports ABAB
+# Bitwise-only stages are timing-independent (image equality, not ABAB);
+# they only need a FUNCTIONAL tunnel, so let them use marginal windows
+# the timing stages must reject — otherwise a bouncing tunnel starves
+# the gates behind the sweeps.
+STAGE_US_OK = {"hybverify": 60000.0}
 PROBE_TIMEOUT = 1200  # degraded probes have exceeded 300 s
 SLEEP_S = 540
 
@@ -82,8 +87,12 @@ def main() -> None:
         save_state(st)
         print(f"{time.strftime('%H:%M:%S')} probe: {us} us/tile "
               f"(pending: {pending})", flush=True)
-        if us is not None and us < US_OK:
-            stage = pending[0]
+        runnable = [
+            s for s in pending
+            if us is not None and us < STAGE_US_OK.get(s, US_OK)
+        ]
+        if runnable:
+            stage = runnable[0]
             print(f"window OPEN -> running stage {stage}", flush=True)
             r = subprocess.run(
                 [sys.executable, os.path.join("tools", "r5_sweep.py"), stage],
