@@ -214,6 +214,14 @@ STAGES = {
          {"COSIG_DEPTH": "1", "COSIG_STUB": "trav,shade"}, None),
         ("glass-fl-full-2", "glass_sphere", {"COSIG_DEPTH": "1"}, None),
     ],
+    # The large half of `depths` after the stage was cut short to run
+    # the bench refresh first (21:30): d1 is already measured by the d1
+    # stage (31.71/31.97) and d4 is the default config (144.96 in the
+    # same-window bench refresh), so only d2/d3 remain.
+    "depthsL": [
+        ("large-d2", "large_mesh", {"COSIG_DEPTH": "2"}, None),
+        ("large-d3", "large_mesh", {"COSIG_DEPTH": "3"}, None),
+    ],
     # Trimmed to 8 rows (each COSIG_DEPTH is its own executable — a
     # fresh ~300 s tunnel compile per row): glass interpolates d3/d5.
     "depths": (
