@@ -176,20 +176,12 @@ _SELFSKIP_ENV = _os.environ.get("COSIG_WF_SELFSKIP", "1")
 _SELFSKIP = _SELFSKIP_ENV != "0"
 _SELFSKIP_FORCE = _SELFSKIP_ENV == "force"
 
-# Depth-hybrid dispatch (COSIG_WF_HYBRID_D=T; experiment, default off
-# until the TPU ABAB lands): selfskip dispatch for bounce depths < T,
-# group compaction from depth T on. Why: the two schedules win in
-# opposite liveness regimes. Selfskip beat whole-chain compaction by
-# 21-22 % (r4) because early depths are near-fully alive — compacting
-# them is pure permutation I/O. But once liveness collapses AND the
-# survivors scatter across pixel-order tiles (large_mesh d2+: 9.5 %
-# alive spread over every tile), selfskip's tile bitmap stops biting
-# while compaction packs the survivors into a small dispatch prefix
-# (host predictor tools/bounce_stats.py: large d3 dots 796 -> 433).
-# Exact: both schedules are individually bitwise-gated, state at the
-# switch point is in pixel order either way, and the compaction chain's
-# first step covers the full extent (identical to its depth-1 cover).
-_HYBRID_D = int(_os.environ.get("COSIG_WF_HYBRID_D", "0"))
+# (Depth-hybrid dispatch — COSIG_WF_HYBRID_D, selfskip for depths < T
+# then compaction — was REJECTED on hardware on both configs in round 5
+# (glass T2/T3 43.1/41.2 vs 33.4/33.7 ms; large 163.9/158.1 vs 145.1):
+# at the collapsed depths the compaction permutation I/O + split-chain
+# dispatch exceed the dot savings the host predictor counted. Machinery
+# + bitwise gates in git history; see docs/packet_floor.md.)
 
 # (Early-t cluster skip — COSIG_EARLYT — and its any-hit twin
 # COSIG_EARLYT_OCC were REJECTED on hardware (glass r4, large r5
@@ -464,11 +456,12 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
     (soft shadows / glossy)."""
     C, C_pad, K, M, L, n_subg, mxu = dims
     n_sph, n_box = prim_counts
-    # Experiment knob: frustum-cull bounce stages too. Compacted bounce
-    # packets are octant-uniform (sign-uniform direction hulls) and
-    # raster-adjacent, but their origin hulls span depth discontinuities;
-    # measure before enabling (default off).
-    bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
+    # Bounce stages never frustum-cull (primary stages do, line ~426):
+    # COSIG_BOUNCE_FRUSTUM was REJECTED on hardware on every config —
+    # glass 249.5 vs 262.6/264.5 ms (r5 bfrust), large 258.0/258.1 vs
+    # 145.1/144.8 (r5 bflarge): bounce direction hulls are fully
+    # diverged, so the hull culls nothing and the build is pure cost.
+    # Implementation + bitwise gate in git history (604bcc9^..).
 
     def body(state, uniforms, mats, lights, prims, aabb_t, sb_aabb_t,
              sub_aabb_t, geom, geom_mx, gatt, sh_aabb_t, sh_sb_aabb_t,
@@ -494,13 +487,13 @@ def _make_bounce_kernel(cfg: StaticConfig, dims, stream,
             geom_mx=geom_mx if mxu else None,
             gatt=gatt if mxu else None, raysmx=raysmx,
             mxu_anyhit=mxu != 2,
-            frustum=bounce_frustum,
+            frustum=False,
         )
         traverse_shadow = _make_shadow_traverse(
             sh_dims, sh_aabb_t, sh_sb_aabb_t, sh_sub_aabb_t, sh_geom,
             best_ref, sh_flag_vmem, sh_flags_smem, sh_list_smem, sem,
             sbflag_vmem, sb_smem, R, subpackets, prims, n_sph, n_box,
-            frustum=bounce_frustum,
+            frustum=False,
         )
         if mode == "trace":
             _rec_store(state, bounce_trace(traverse, state))
@@ -827,9 +820,8 @@ def render_wavefront(
     if prims is None:
         prims = jnp.zeros((1, 22), jnp.float32)
 
-    bounce_frustum = _os.environ.get("COSIG_BOUNCE_FRUSTUM") == "1"
     (C, C_pad, K, n_subg, mxu), stream, geom_ins, scratch, geom_specs = (
-        _stage_resources(cset, stream, R, frustum=bounce_frustum,
+        _stage_resources(cset, stream, R, frustum=False,
                          interpret=interpret)
     )
     dims = (C, C_pad, K, M, L, n_subg, mxu)
@@ -917,15 +909,14 @@ def render_wavefront(
     group_perm = jnp.arange(n_pad // GROUP, dtype=jnp.int32)
 
     selfskip = _SELFSKIP and (not interpret or _SELFSKIP_FORCE)
-    hybrid = False  # reassigned in the bounce block (_HYBRID_D note)
     if cfg.max_depth > 1:
         # Bounce-stage tile/sub-packet experiment knobs: COSIG_WF_RB sets
         # the bounce tile size (must divide the primary tile; default =
         # primary R), COSIG_WF_SB its sub-packet count. Compacted bounce
         # rays are octant-sorted in GROUP(=128)-ray blocks, so Rb/Sb ==
-        # GROUP gives SINGLE-OCTANT sub-packets whose direction hulls are
-        # sign-uniform — the granularity at which bounce-stage frustum
-        # culling (COSIG_BOUNCE_FRUSTUM=1) becomes tight.
+        # GROUP gives SINGLE-OCTANT sub-packets with sign-uniform
+        # direction hulls (bounce frustum culling built on that was
+        # rejected on hardware; see the note above `body`).
         # Auto rule (r4 ssRb/ssSb sweep, 07:25-07:53 window): narrow cuts
         # (C_pad <= 128, e.g. glass K32) win at Rb=1024 — finer dead-tile
         # skip granularity beats per-tile fixed cost when the slab cull is
@@ -957,14 +948,9 @@ def render_wavefront(
 
         b_scratch = (
             scratch if Rb == R
-            else _stage_resources(cset, stream, Rb, frustum=bounce_frustum,
+            else _stage_resources(cset, stream, Rb, frustum=False,
                                   interpret=interpret)[3] + sh_scratch
         )
-
-        # Depth-hybrid split point (_HYBRID_D note): selfskip covers
-        # bounce depths [1, ss_until), compaction [ss_until, max_depth).
-        hybrid = selfskip and 2 <= _HYBRID_D < cfg.max_depth
-        ss_until = _HYBRID_D if hybrid else cfg.max_depth
 
         if selfskip:
             # ---- self-skip dispatch (_SELFSKIP note): no compaction, no
@@ -1018,15 +1004,14 @@ def render_wavefront(
             # lax loop miscomputes (the guard the compaction path documents
             # below); unrolling costs nothing without Mosaic compiles.
             if _os.environ.get("COSIG_WF_LOOP") == "py" or interpret:
-                for depth in range(1, ss_until):
+                for depth in range(1, cfg.max_depth):
                     state = depth_body_ss(jnp.int32(depth), state)
             else:
                 state = jax.lax.fori_loop(
-                    1, ss_until, depth_body_ss, state
+                    1, cfg.max_depth, depth_body_ss, state
                 )
-        if (not selfskip) or hybrid:
+        else:
             kernels = _mk_kernels(False)
-            cp_from = ss_until if hybrid else 1
 
             def run_prefix(st, uni_d, pt):
                 # Compiled: the full state array is passed through with the
@@ -1135,12 +1120,12 @@ def render_wavefront(
                 interpret_unroll = interpret
             carry = (state, group_perm, jnp.int32(len(levels) - 1))
             if interpret_unroll or force_unroll or wf_loop == "py":
-                for depth in range(cp_from, cfg.max_depth):
+                for depth in range(1, cfg.max_depth):
                     carry = depth_body(jnp.int32(depth), carry)
                 state, group_perm, _ = carry
             else:
                 state, group_perm, _ = jax.lax.fori_loop(
-                    cp_from, cfg.max_depth, depth_body, carry,
+                    1, cfg.max_depth, depth_body, carry,
                 )
 
     # ---- restore pixel order (inverse group permutation, one cheap group
@@ -1165,7 +1150,7 @@ def render_wavefront(
     sqh, sqw = _quad_grid(subpackets)
     qh, qw = bh // sqh, bw // sqw
     meanfirst = _MEANFIRST and GROUP % aa == 0
-    if cfg.max_depth > 1 and ((not selfskip) or hybrid):
+    if cfg.max_depth > 1 and not selfskip:
         g_total = n_pad // GROUP
         inv = jnp.argsort(group_perm)
         if meanfirst:

@@ -618,35 +618,6 @@ def test_wavefront_selfskip_exact(scene1, monkeypatch):
     np.testing.assert_array_equal(np.asarray(img2), np.asarray(base))
 
 
-def test_wavefront_hybrid_exact(scene1, monkeypatch):
-    """Depth-hybrid dispatch (COSIG_WF_HYBRID_D: selfskip for depths < T,
-    group compaction from depth T on) must be BIT-identical to both pure
-    schedules: each is individually gated, the state at the switch point
-    is in pixel order either way, and the compaction chain's first step
-    covers the full extent exactly as its depth-1 cover does."""
-    from cosig_tpu.ops import trace_wavefront
-
-    st = cosig_tpu.RenderSettings(
-        resolution_override=(64, 64), max_depth=4, aa_samples=4,
-        enable_soft_shadows=True, light_size=5.0,
-    )
-    arrays = compile_scene(scene1)
-    params = frame_params(scene1, st)
-    cfg = static_config(scene1, st)
-    cs = build_clusters(arrays)
-    monkeypatch.setattr(trace_wavefront, "_SELFSKIP", False)
-    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    monkeypatch.setattr(trace_wavefront, "_SELFSKIP", True)
-    monkeypatch.setattr(trace_wavefront, "_SELFSKIP_FORCE", True)
-    for t in (2, 3):
-        monkeypatch.setattr(trace_wavefront, "_HYBRID_D", t)
-        img, r1 = trace_wavefront.render_wavefront(
-            cs, params, cfg, interpret=True
-        )
-        assert float(r0) == float(r1), t
-        np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
-
-
 @pytest.mark.slow
 def test_selfskip_verify_tpu():
     """Hardware bitwise gate for the shipped selfskip dispatch: runs
@@ -673,28 +644,6 @@ def test_selfskip_verify_tpu():
     )
     assert run.returncode == 0, (run.stdout[-2000:], run.stderr[-2000:])
     assert "bitwise-equal: True" in run.stdout, run.stdout[-2000:]
-
-
-def test_wavefront_bounce_frustum_exact(scene1, monkeypatch):
-    """Bounce-stage frustum culls (COSIG_BOUNCE_FRUSTUM; a conservative
-    superset cull over the selfskip-era pixel-order bounce tiles) must
-    be BIT-identical under the forced-MXU interpret path — the cull only
-    changes which non-winning candidates are tested."""
-    from cosig_tpu.ops import trace_wavefront
-
-    monkeypatch.setenv("COSIG_MXU", "force")
-    st = cosig_tpu.RenderSettings(
-        resolution_override=(64, 64), max_depth=3, aa_samples=4,
-    )
-    arrays = compile_scene(scene1)
-    params = frame_params(scene1, st)
-    cfg = static_config(scene1, st)
-    cs = build_clusters(arrays)
-    base, r0 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    monkeypatch.setenv("COSIG_BOUNCE_FRUSTUM", "1")
-    img, r1 = trace_wavefront.render_wavefront(cs, params, cfg, interpret=True)
-    assert float(r0) == float(r1)
-    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
 
 
 def test_wavefront_shadow_cset_exact(scene1):
